@@ -1,0 +1,223 @@
+"""Physics-core unit tests (SURVEY.md §4: turn inline assertions and
+visual scripts into automated tests)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from voronoirt_tpu import constants as cst
+from voronoirt_tpu.physics import (
+    B_lambda, B_nu, voigt_H, voigt_profile, thomson, rayleigh_h,
+    hminus_ff, hminus_bf, hydrogenic_ff, alpha_absorption, alpha_scattering,
+    expint_E1, expint_E2, coll_exc_hydrogen_johnson,
+    coll_ion_hydrogen_johnson, lte_populations, lyman_alpha_line,
+    gamma_constant, n_eff, gaunt_bf)
+from voronoirt_tpu.physics.broadening import damping
+from voronoirt_tpu.solvers import linear_weights
+
+
+class TestPlanck:
+    def test_wien_peak(self):
+        # Wien: lambda_max T = 2.8978e-3 m K
+        T = 5778.0
+        lams = np.linspace(100e-9, 2000e-9, 20000)
+        B = np.asarray(B_lambda(lams, T))
+        lam_peak = lams[np.argmax(B)]
+        assert abs(lam_peak * T - 2.8978e-3) / 2.8978e-3 < 1e-3
+
+    def test_known_value(self):
+        # B_lambda(500 nm, 5777 K) = 2.63e13 W m^-3 sr^-1 = 26.3 kW/m2/nm
+        val = float(B_lambda(500e-9, 5777.0))
+        assert abs(val - 26.3) / 26.3 < 0.01
+
+    def test_b_nu_b_lambda_consistency(self):
+        # B_nu dnu = B_lambda dlam  =>  B_lambda = B_nu c/lam^2
+        lam, T = 500e-9, 6000.0
+        b_lam_si = float(B_lambda(lam, T)) * cst.IUNIT_SI
+        b_nu = float(B_nu(cst.c_0 / lam, T))
+        assert abs(b_lam_si - b_nu * cst.c_0 / lam**2) / b_lam_si < 1e-12
+
+
+class TestVoigt:
+    def test_vs_wofz(self):
+        from scipy.special import wofz
+        a = np.array([1e-4, 1e-3, 1e-2, 0.1, 0.5, 1.0, 5.0])[:, None]
+        v = np.linspace(-300, 300, 1001)[None, :]
+        ours = np.asarray(voigt_H(a, v))
+        exact = wofz(v + 1j * a).real
+        assert np.max(np.abs(ours - exact) / np.maximum(exact, 1e-10)) < 2e-4
+
+    def test_area_norm(self):
+        # integral H(a,v) dv = sqrt(pi)
+        v = np.linspace(-4000, 4000, 400001)
+        H = np.asarray(voigt_H(0.1, v))
+        area = np.trapezoid(H, v)
+        assert abs(area - np.sqrt(np.pi)) < 1e-3
+
+    def test_profile_normalisation(self):
+        dlamD = 5e-12
+        v = np.linspace(-2000, 2000, 200001)
+        phi = np.asarray(voigt_profile(0.05, v, dlamD))
+        # integral phi dlam = 1 with dlam = v * dlamD
+        area = np.trapezoid(phi, v * dlamD)
+        assert abs(area - 1.0) < 1e-3
+
+
+class TestOpacity:
+    def test_thomson(self):
+        assert float(thomson(1e20)) == pytest.approx(6.6524587321e-9)
+
+    def test_rayleigh_edge_and_magnitude(self):
+        assert float(rayleigh_h(100e-9, 1e20)) == 0.0
+        # sigma(500 nm) ~ 1.0e-27 cm^2 -> alpha/nH ~ 1e-31 m^-1 per m^-3
+        sig = float(rayleigh_h(500e-9, 1.0))
+        assert 5e-32 < sig < 5e-31
+        # diverges toward the Ly-alpha resonance
+        assert float(rayleigh_h(130e-9, 1.0)) > float(rayleigh_h(500e-9, 1.0))
+
+    def test_hminus_bf_magnitude(self):
+        # peak sigma(H-) ~ 4e-17 cm^2 near 8500 A (Wishart)
+        from voronoirt_tpu.physics.opacity import hminus_bf_sigma
+        sig = float(hminus_bf_sigma(850e-9))
+        assert 3.5e-21 < sig < 4.5e-21  # m^2
+        assert float(hminus_bf_sigma(1700e-9)) == 0.0  # beyond edge
+
+    def test_hminus_ff_positive_grows_with_lambda(self):
+        T, nh, ne = 6000.0, 1e23, 1e19
+        a1 = float(hminus_ff(500e-9, T, nh, ne))
+        a2 = float(hminus_ff(1500e-9, T, nh, ne))
+        assert 0 < a1 < a2
+
+    def test_continuum_photosphere_scale(self):
+        # Solar photosphere continuum extinction at 500 nm ~ 1e-7..1e-4 m^-1
+        T, ne, nh, np_ = 6420.0, 6.4e19, 1.2e23, 6.4e19
+        a = float(alpha_absorption(jnp.asarray(500e-9), T, ne, nh, np_))
+        assert 1e-8 < a < 1e-3
+
+    def test_scattering_aggregate(self):
+        a = float(alpha_scattering(jnp.asarray(500e-9), 1e19, 1e23))
+        assert a > float(thomson(1e19)) * 0.99
+
+
+class TestExpint:
+    def test_vs_scipy(self):
+        from scipy.special import exp1, expn
+        x = np.logspace(-4, 2, 200)
+        assert np.allclose(np.asarray(expint_E1(x)), exp1(x),
+                           rtol=5e-7, atol=1e-9)
+        assert np.allclose(np.asarray(expint_E2(x)), expn(2, x),
+                           rtol=1e-5, atol=1e-9)
+
+
+class TestJohnson:
+    def test_excitation_magnitude(self):
+        # q(1->2)(1e4 K) ~ a few 1e-13 cm^3/s (Johnson 1972)
+        ne = 1.0e6  # m^-3, i.e. exactly 1 cm^-3 -> rate == q in cm^3/s
+        q = float(coll_exc_hydrogen_johnson(1, 2, ne, 1e4))
+        assert 1e-14 < q < 1e-12
+
+    def test_ionization_magnitude(self):
+        ne = 1.0e6  # 1 cm^-3
+        q = float(coll_ion_hydrogen_johnson(1, ne, 2e4))
+        assert 1e-17 < q < 1e-10
+
+    def test_rates_increase_with_T(self):
+        ne = 1e18
+        lo = float(coll_exc_hydrogen_johnson(1, 2, ne, 6e3))
+        hi = float(coll_exc_hydrogen_johnson(1, 2, ne, 1.2e4))
+        assert hi > lo > 0
+
+
+class TestLTE:
+    def _line(self, T):
+        return lyman_alpha_line(5, 3, jnp.asarray(T))
+
+    def test_conservation_and_ionization_limits(self):
+        T = np.array([4000.0, 6000.0, 10000.0, 30000.0])
+        ne = np.full(4, 1e18)
+        nH = np.full(4, 1e20)
+        line = self._line(T)
+        pops = np.asarray(lte_populations(line, jnp.asarray(T),
+                                          jnp.asarray(ne), jnp.asarray(nH)))
+        assert pops.shape == (4, 3)
+        assert np.allclose(pops.sum(-1), nH, rtol=1e-12)
+        # cold -> neutral ground state; hot -> ionized
+        assert pops[0, 0] / nH[0] > 0.999
+        assert pops[3, 2] / nH[3] > 0.9
+
+    def test_boltzmann_ratio(self):
+        T = np.array([8000.0])
+        line = self._line(T)
+        pops = np.asarray(lte_populations(line, jnp.asarray(T),
+                                          jnp.asarray([1e18]),
+                                          jnp.asarray([1e20])))
+        expected = (line.g_j / line.g_i) * np.exp(
+            -(line.chi_j - line.chi_i) / (cst.k_B * T[0]))
+        assert pops[0, 1] / pops[0, 0] == pytest.approx(expected, rel=1e-10)
+
+
+class TestLine:
+    def test_lyman_alpha_parameters(self):
+        line = lyman_alpha_line(51, 20, jnp.asarray([6000.0]))
+        assert line.lam0 == pytest.approx(121.568e-9, rel=1e-4)
+        assert line.Aji == pytest.approx(4.70e8, rel=0.01)
+        assert line.n_lambda == 91
+        assert line.lam_idx == (0, 51, 71, 91)
+
+    def test_wavelength_grid_structure(self):
+        line = lyman_alpha_line(51, 20, jnp.asarray([6000.0]))
+        bb = line.lam[:51]
+        assert np.all(np.diff(bb) > 0)
+        assert bb[25] == pytest.approx(line.lam0)
+        # symmetric about line centre
+        assert np.allclose(bb[25] - bb[:25], (bb[26:] - bb[25])[::-1])
+        # bf grids: Lyman edge at 91.18 nm, Balmer edge at 364.7 nm
+        assert line.lam[70] == pytest.approx(91.176e-9, rel=1e-3)
+        assert line.lam[90] == pytest.approx(364.70e-9, rel=1e-3)
+
+    def test_doppler_width(self):
+        line = lyman_alpha_line(5, 3, jnp.asarray([6000.0]))
+        # dlamD = lam0/c sqrt(2kT/m) ~ 4.04e-12 m at 6000 K
+        assert float(line.dlamD[0]) == pytest.approx(4.04e-12, rel=0.01)
+
+    def test_damping_scale(self):
+        line = lyman_alpha_line(5, 3, jnp.asarray([6000.0]))
+        g = gamma_constant(line, jnp.asarray([6000.0]), jnp.asarray([1e20]),
+                           jnp.asarray([1e18]))
+        a = float(damping(g, line.lam0, line.dlamD)[0])
+        assert 1e-4 < a < 1.0  # typical Ly-alpha damping parameter
+
+    def test_gaunt_bf_positive(self):
+        assert float(gaunt_bf(91e-9, 1, 1.0)) > 0
+        assert float(gaunt_bf(364e-9, 1, 2.0)) > 0
+
+
+class TestLinearWeights:
+    def test_sum_rule(self):
+        # alpha + beta + exp(-dtau) == 1 for all dtau (exact identity)
+        dt = np.logspace(-8, 3, 200)
+        a, b, e = (np.asarray(v) for v in linear_weights(dt))
+        assert np.allclose(a + b + e, 1.0, atol=1e-12)
+
+    def test_matches_exact_midrange(self):
+        dt = np.array([1e-3, 1e-2, 0.1, 1.0, 10.0, 49.0])
+        a, b, e = (np.asarray(v) for v in linear_weights(dt))
+        exact_e = np.exp(-dt)
+        exact_a = (1 - exact_e) / dt - exact_e
+        assert np.allclose(e, exact_e, rtol=1e-6)
+        assert np.allclose(a, exact_a, rtol=1e-5)
+
+    def test_constant_source_exact(self):
+        # I = e I_up + (a+b) S must equal S when I_up = S (radiative equil.)
+        dt = np.logspace(-6, 2, 50)
+        a, b, e = (np.asarray(v) for v in linear_weights(dt))
+        S = 3.7
+        I = e * S + (a + b) * S
+        assert np.allclose(I, S, rtol=1e-12)
+
+    def test_guard_continuity(self):
+        for edge in (5e-4, 50.0):
+            lo, hi = edge * (1 - 1e-6), edge * (1 + 1e-6)
+            wlo = np.array([np.asarray(v) for v in linear_weights(lo)])
+            whi = np.array([np.asarray(v) for v in linear_weights(hi)])
+            assert np.allclose(wlo, whi, atol=1e-5)

@@ -1,0 +1,67 @@
+"""Typed run configuration.
+
+The reference hard-codes every tunable in driver scripts and module consts
+(SURVEY.md §5 "Config / flag system"); this module promotes the complete
+tunable surface to one dataclass.
+
+Reference anchors for defaults:
+  eps / maxiter / nlam_bb / nlam_bf   src/compare_line.jl:10-18
+  n_sweeps = 3                        src/characteristics.jl:25, lambda_iteration.jl:82
+  upwind blend exponent p = 7.0       src/irregular_ray_tracing.jl:1
+  collisional BOOST = 2.0e9           src/rates.jl:3
+  natural broadening 4.702e8 s^-1     src/broadening.jl:76
+  max_neighbours guess = 70           src/voronoi_utils.jl:42
+  quadrature ul7n12                   src/compare_line.jl:216
+  RNG seeds                           src/compare_line.jl:6-7, compare_continuum.jl:7-8
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # --- iteration control ---
+    eps: float = 1e-3             # Lambda-iteration convergence tolerance
+    maxiter: int = 150            # max Lambda iterations
+    n_sweeps: int = 3             # in-plane / in-layer Gauss-Seidel passes
+
+    # --- wavelength sampling (line.jl:59-61) ---
+    nlam_bb: int = 51             # bound-bound points (forced odd)
+    nlam_bf: int = 20             # bound-free points per level
+
+    # --- quadrature ---
+    quadrature: str = "ul7n12"    # name of an angular quadrature set
+
+    # --- irregular grid ---
+    upwind_exponent: float = 7.0  # blend-weight exponent p
+    max_neighbours: int = 70      # neighbour-list cap (reference max_guess)
+
+    # --- physics compat switches (SURVEY.md §7 "fidelity traps") ---
+    # 'reference' reproduces the reference's published behaviour exactly,
+    # including its documented quirks; 'fixed' corrects them.
+    compat: str = "reference"
+    boost: float = 2.0e9          # collisional-rate boost (rates.jl:3)
+    gamma_natural: float = 4.702e8  # hard-coded natural broadening [s^-1]
+
+    # --- numerics ---
+    dtype: str = "float64"        # physics dtype ('float64' on CPU tests)
+    transport_dtype: Optional[str] = None  # sweep dtype; None => same as dtype
+
+    # --- seeds ---
+    seed: int = 2022              # site-sampling seed (compare_line.jl:7)
+
+    # --- checkpointing ---
+    checkpoint_every: int = 1     # Lambda iterations between checkpoints
+
+    @property
+    def sweep_dtype(self) -> str:
+        return self.transport_dtype or self.dtype
+
+    def fixed(self) -> bool:
+        return self.compat == "fixed"
+
+
+DEFAULT = Config()

@@ -1,0 +1,383 @@
+"""Regular-grid short-characteristics sweep, TPU-native.
+
+Reference parity: src/characteristics.jl (short_characteristics_up/_down
+and the six *_ray kernels).  Same numerics, different structure:
+
+  * The reference stores periodic "ghost" cells and loops interior points
+    (characteristics.jl:218,273-278 etc.).  Ghosts + interior loops are
+    exactly a periodic domain, so this build drops ghosts and uses
+    jnp.roll shifts on the physical (Nx, Ny) grid -- every stencil is a
+    fixed-shape shifted-array expression XLA fuses on the VPU.
+  * All direction-dependent geometry (plane case, stencil base shifts,
+    interpolation fractions, path lengths) is compiled host-side into a
+    static `RegularPlan` (SURVEY.md §7 "static index plans"), so the
+    jitted sweep sees only fixed shapes and per-step scalars.
+  * z marches via lax.scan carrying the previous plane.  The xy case
+    (upwind fully in the previous plane, characteristics.jl:191-280) is
+    one fused whole-plane update.  The yz/xz cases (in-plane dependency,
+    characteristics.jl:383-718) replicate the reference's n_sweeps
+    Gauss-Seidel passes as a lax.scan along the ordered axis with the
+    orthogonal axis and the wavelength batch vectorized, carrying the
+    reference's one-line buffer (I_upper/I_lower).
+  * Wavelengths ride a leading batch axis B instead of Threads.@threads
+    (lambda_iteration.jl:30).
+
+Field layout: (nz, B, Nx, Ny); B is any batch (usually wavelength).
+Boundary intensity I0: (B, Nx, Ny).
+
+Reference quirks reproduced deliberately (validated against a
+transliteration oracle that matches the published searchlight golden,
+data/searchlight_data/I_160_45_regular.npy, to 2e-16):
+  * yz/xz kernels take the upwind COLUMN at ix + sign_x (march direction)
+    while the in-plane line buffer holds column ix - sign_x
+    (characteristics.jl:424,463-464,477).
+  * the line buffer starts at zero once and persists across the
+    n_sweeps passes (characteristics.jl:399).
+  * xz_down reads its "centre" alpha/S from the upper plane
+    (characteristics.jl:794,804); yz_down from the current plane.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .formal import linear_weights
+
+
+# --------------------------------------------------------------- planning
+
+def xy_intersect(k):
+    """Loop-direction signs from the k quadrant (functions.jl:430-457)."""
+    if k[1] > 0 and k[2] > 0:
+        return -1, -1
+    if k[1] < 0 and k[2] > 0:
+        return 1, -1
+    if k[1] < 0 and k[2] < 0:
+        return 1, 1
+    if k[1] > 0 and k[2] < 0:
+        return -1, 1
+    return 1, 1
+
+
+@dataclasses.dataclass(frozen=True)
+class Segment:
+    """A contiguous run of z-steps sharing one plane-cut case.
+
+    All fields are hashable (tuples) so the whole plan can be a static
+    jit argument -- the sweep schedule is compile-time constant.
+    """
+    case: str              # 'xy' | 'yz' | 'xz'
+    steps: tuple           # z indices of the planes computed (march order)
+    r: tuple               # path length per step [m]
+    fx: tuple              # x stencil fraction per step (xy case)
+    fy: tuple              # y stencil fraction per step (xy case)
+    w_cur: tuple           # current-plane z-interp weight (yz/xz case)
+
+
+@dataclasses.dataclass(frozen=True)
+class RegularPlan:
+    """Static sweep plan for one direction over one z grid."""
+    k: tuple
+    up: bool
+    sign_x: int            # march/loop signs (xy_intersect)
+    sign_y: int
+    sxs: int               # stencil base shift in x: 0 if k_x>=0 else -1
+    sys: int               # stencil base shift in y
+    r_x: float             # dx/|k_x|
+    r_y: float             # dy/|k_y|
+    fy_line: float         # static y fraction for the yz case
+    fx_line: float         # static x fraction for the xz case
+    segments: tuple        # of Segment
+
+
+def build_plan(k, z, dx, dy, up):
+    """Compile the static sweep schedule for direction k (host side).
+
+    Mirrors the per-z `plane_cut = argmin([r_z, r_x, r_y])` dispatch
+    (characteristics.jl:71,160); for each z interval the winning case and
+    all interpolation geometry depend only on (k, grid spacing), so they
+    are precomputed here once.
+    """
+    k = np.asarray(k, dtype=np.float64)
+    nz = len(z)
+    sign_x, sign_y = xy_intersect(k)
+    r_x = abs(dx / k[1]) if k[1] != 0 else np.inf
+    r_y = abs(dy / k[2]) if k[2] != 0 else np.inf
+    sxs = 0 if k[1] >= 0 else -1
+    sys = 0 if k[2] >= 0 else -1
+
+    # static in-line fractions for the marching cases
+    if np.isfinite(r_x):
+        uy = r_x * k[2]
+        fy_line = float(np.clip(uy / dy - sys, 0.0, 1.0))
+    else:
+        fy_line = 1.0
+    if np.isfinite(r_y):
+        ux = r_y * k[1]
+        fx_line = float(np.clip(ux / dx - sxs, 0.0, 1.0))
+    else:
+        fx_line = 1.0
+
+    if up:
+        steps = range(1, nz)
+        dz_of = lambda i: z[i] - z[i - 1]
+    else:
+        steps = range(nz - 2, -1, -1)
+        dz_of = lambda i: z[i + 1] - z[i]
+
+    raw = []
+    for i in steps:
+        dz = dz_of(i)
+        r_z = abs(dz / k[0]) if k[0] != 0 else np.inf
+        case = ("xy", "yz", "xz")[int(np.argmin([r_z, r_x, r_y]))]
+        if case == "xy":
+            r = r_z
+            fx = np.clip(r * k[1] / dx - sxs, 0.0, 1.0) if np.isfinite(r) else 1.0
+            fy = np.clip(r * k[2] / dy - sys, 0.0, 1.0) if np.isfinite(r) else 1.0
+            w_cur = 0.0
+        elif case == "yz":
+            r = r_x
+            fx = fy = 0.0
+            # z interp: up: between z[i-1] (w=1-t) and z[i] (w=t),
+            #           t = 1 - r|k_z|/dz; down: between z[i] (w=1-t)
+            #           and z[i+1] (w=t), t = r k_z/dz.  w_cur weights
+            #           the CURRENT plane row in both.
+            t = r * abs(k[0]) / dz
+            w_cur = 1.0 - t
+        else:
+            r = r_y
+            fx = fy = 0.0
+            t = r * abs(k[0]) / dz
+            w_cur = 1.0 - t
+        raw.append((case, i, float(r), float(fx), float(fy), float(w_cur)))
+
+    segments = []
+    for (case, i, r, fx, fy, wc) in raw:
+        if segments and segments[-1][0] == case:
+            segments[-1][1].append((i, r, fx, fy, wc))
+        else:
+            segments.append([case, [(i, r, fx, fy, wc)]])
+    segs = []
+    for case, items in segments:
+        segs.append(Segment(
+            case=case,
+            steps=tuple(i for (i, *_rest) in items),
+            r=tuple(r for (_, r, _f, _g, _w) in items),
+            fx=tuple(f for (_, _r, f, _g, _w) in items),
+            fy=tuple(g for (_, _r, _f, g, _w) in items),
+            w_cur=tuple(w for (_, _r, _f, _g, w) in items)))
+
+    return RegularPlan(k=tuple(k), up=up, sign_x=sign_x, sign_y=sign_y,
+                       sxs=sxs, sys=sys, r_x=float(r_x), r_y=float(r_y),
+                       fy_line=fy_line, fx_line=fx_line,
+                       segments=tuple(segs))
+
+
+# --------------------------------------------------------------- kernels
+
+def _shift(A, sx, sy):
+    """A[..., x+sx, y+sy] with periodic wrap."""
+    if sx:
+        A = jnp.roll(A, -sx, axis=-2)
+    if sy:
+        A = jnp.roll(A, -sy, axis=-1)
+    return A
+
+
+def _stencil_xy(A, sxs, sys, fx, fy):
+    """Bilinear sample at (x + fx', y + fy') via 4 shifted planes.
+
+    Equals the reference's `bilinear` at the upwind point of the xy rays
+    (characteristics.jl:247,257,266) on an equidistant periodic grid.
+    """
+    w00 = (1.0 - fx) * (1.0 - fy)
+    w01 = (1.0 - fx) * fy
+    w10 = fx * (1.0 - fy)
+    w11 = fx * fy
+    return (w00 * _shift(A, sxs, sys) + w01 * _shift(A, sxs, sys + 1)
+            + w10 * _shift(A, sxs + 1, sys) + w11 * _shift(A, sxs + 1, sys + 1))
+
+
+def _xy_step(plan, carry_I, inputs):
+    """One z-plane of the xy case: fully vectorized (B, Nx, Ny) update."""
+    alpha_c, alpha_p, S_c, S_p, r, fx, fy, _wc = inputs
+    a_up = _stencil_xy(alpha_p, plan.sxs, plan.sys, fx, fy)
+    dtau = r * (alpha_c + a_up) * 0.5
+    aw, bw, ew = linear_weights(dtau)
+    S_up = _stencil_xy(S_p, plan.sxs, plan.sys, fx, fy)
+    I_up = _stencil_xy(carry_I, plan.sxs, plan.sys, fx, fy)
+    I_new = ew * I_up + aw * S_up + bw * S_c
+    return I_new, I_new
+
+
+def _roll_y(col, s):
+    """col[..., y+s] periodic, col shaped (B, Ny)."""
+    return jnp.roll(col, -s, axis=-1) if s else col
+
+
+def _line_interp(col, sys, f):
+    """(1-f) col[y+sys] + f col[y+sys+1] -- the orthogonal-axis interp."""
+    return (1.0 - f) * _roll_y(col, sys) + f * _roll_y(col, sys + 1)
+
+
+def _march_step(plan, f_line, s_base, n_sweeps, w_cur, cols, centre_cols,
+                I_prev_cols, nx_axis):
+    """Shared yz/xz marching kernel over the ordered axis.
+
+    cols: upwind-column slices (alpha_p, alpha_c, S_p, S_c) each
+    (Nx, B, Ny) already gathered in march order at ix + sign; centre_cols:
+    (alpha_c, S_c) at ix in march order; I_prev_cols: previous-plane
+    intensity at ix + sign.  Returns the new plane columns in march order.
+
+    Replicates characteristics.jl:420-483 (and the down/xz variants):
+      upwind value = w_prev * [prev-plane col, y-interp]
+                   + w_cur  * [line buffer, y-interp]
+    with the line buffer carrying the previously computed line
+    (reference's I_upper/I_lower), zero-initialised once and kept
+    across the n_sweeps passes.
+    """
+    alpha_pw, alpha_cw, S_pw, S_cw = cols
+    alpha_c0, S_c0 = centre_cols
+    w_prev = 1.0 - w_cur
+    r = jnp.asarray(plan.r_x if nx_axis else plan.r_y)
+
+    def line_body(buf, xs):
+        a_pw, a_cw, s_pw, s_cw, i_pw, a_c0, s_c0, wc = xs
+        wp = 1.0 - wc
+        a_up = wp * _line_interp(a_pw, s_base, f_line) \
+            + wc * _line_interp(a_cw, s_base, f_line)
+        dtau = r * (a_c0 + a_up) * 0.5
+        aw, bw, ew = linear_weights(dtau)
+        s_up = wp * _line_interp(s_pw, s_base, f_line) \
+            + wc * _line_interp(s_cw, s_base, f_line)
+        i_up = wp * _line_interp(i_pw, s_base, f_line) \
+            + wc * _line_interp(buf, s_base, f_line)
+        i_new = ew * i_up + aw * s_up + bw * s_c0
+        return i_new, i_new
+
+    n_cols = alpha_pw.shape[0]
+    wc_arr = jnp.broadcast_to(w_cur, (n_cols,))
+    xs = (alpha_pw, alpha_cw, S_pw, S_cw, I_prev_cols, alpha_c0, S_c0, wc_arr)
+    buf = jnp.zeros_like(alpha_c0[0])
+    lines = None
+    for _ in range(n_sweeps):
+        buf, lines = jax.lax.scan(line_body, buf, xs)
+    return lines
+
+
+def _gather_order(N, sign):
+    """March order and upwind-column order (periodic) along an axis."""
+    order = np.arange(N) if sign > 0 else np.arange(N - 1, -1, -1)
+    upwind = (order + sign) % N
+    inv = np.argsort(order)
+    return order, upwind, inv
+
+
+def _march_plane(plan, case, n_sweeps, w_cur, carry_I, alpha_c, alpha_p,
+                 S_c, S_p, centre_from_upper):
+    """One z-plane of the yz ('x' march) or xz ('y' march) case."""
+    if case == "yz":
+        sign, f_line, s_base, nx_axis = plan.sign_x, plan.fy_line, plan.sys, True
+        ax = -2   # march over x; lines are (B, Ny)
+    else:
+        sign, f_line, s_base, nx_axis = plan.sign_y, plan.fx_line, plan.sxs, False
+        ax = -1   # march over y; lines are (B, Nx)
+
+    N = alpha_c.shape[ax]
+    order, upwind, inv = _gather_order(N, sign)
+
+    def take(A, idx):
+        # (B, Nx, Ny) -> (N, B, M) with march axis leading
+        M = jnp.take(A, idx, axis=ax)
+        return jnp.moveaxis(M, ax, 0)
+
+    centre_a = alpha_p if centre_from_upper == "prev" else alpha_c
+    centre_s = S_p if centre_from_upper == "prev" else S_c
+
+    cols = (take(alpha_p, upwind), take(alpha_c, upwind),
+            take(S_p, upwind), take(S_c, upwind))
+    centre_cols = (take(centre_a, order), take(centre_s, order))
+    I_prev_cols = take(carry_I, upwind)
+
+    lines = _march_step(plan, f_line, s_base, n_sweeps, w_cur, cols,
+                        centre_cols, I_prev_cols, nx_axis)
+    # un-permute march order and put the axis back
+    lines = jnp.take(lines, inv, axis=0)
+    return jnp.moveaxis(lines, 0, ax)
+
+
+# ----------------------------------------------------------------- sweep
+
+@partial(jax.jit, static_argnames=("plan", "n_sweeps"))
+def sweep(plan: RegularPlan, S, alpha, I0, z_unused=None, n_sweeps=3):
+    """Formal solution along direction plan.k over the whole grid.
+
+    Args:
+      plan: RegularPlan from build_plan (static).
+      S, alpha: (nz, B, Nx, Ny) source function / extinction.
+      I0: (B, Nx, Ny) boundary intensity (bottom plane for up sweeps,
+          top plane for down sweeps; lambda_iteration.jl:38-52).
+      n_sweeps: Gauss-Seidel passes for the marching cases.
+    Returns:
+      I: (nz, B, Nx, Ny).
+
+    Equivalent of short_characteristics_up/_down (characteristics.jl:19,110).
+    """
+    nz = S.shape[0]
+    planes = {}          # z index -> computed plane
+    carry = I0
+    bc_index = 0 if plan.up else nz - 1
+    planes[bc_index] = I0
+
+    for seg in plan.segments:
+        idx = np.asarray(seg.steps)
+        prev = idx - 1 if plan.up else idx + 1
+        alpha_c = alpha[idx]
+        alpha_p = alpha[prev]
+        S_c = S[idx]
+        S_p = S[prev]
+        if seg.case == "xy":
+            xs = (alpha_c, alpha_p, S_c, S_p,
+                  jnp.asarray(seg.r), jnp.asarray(seg.fx),
+                  jnp.asarray(seg.fy), jnp.asarray(seg.w_cur))
+            carry, ys = jax.lax.scan(partial(_xy_step, plan), carry, xs)
+        else:
+            centre = "prev" if (seg.case == "xz" and not plan.up) else "cur"
+
+            def plane_body(carry_I, xs, case=seg.case, centre=centre):
+                a_c, a_p, s_c, s_p, wc = xs
+                I_new = _march_plane(plan, case, n_sweeps, wc, carry_I,
+                                     a_c, a_p, s_c, s_p, centre)
+                return I_new, I_new
+
+            xs = (alpha_c, alpha_p, S_c, S_p, jnp.asarray(seg.w_cur))
+            carry, ys = jax.lax.scan(plane_body, carry, xs)
+        for j, i in enumerate(seg.steps):
+            planes[i] = ys[j]
+
+    return jnp.stack([planes[i] for i in range(nz)], axis=0)
+
+
+# ------------------------------------------------------------ public API
+
+def short_characteristics(k, S, alpha, I0, z, dx, dy, up, n_sweeps=3,
+                          plan=None):
+    """Convenience wrapper building (or reusing) the static plan.
+
+    S/alpha may be (nz, Nx, Ny) or (nz, B, Nx, Ny); I0 (Nx, Ny) or
+    (B, Nx, Ny).  Returns intensity with matching shape.
+    """
+    squeeze = S.ndim == 3
+    if squeeze:
+        S = S[:, None]
+        alpha = alpha[:, None]
+        I0 = I0[None]
+    if plan is None:
+        plan = build_plan(k, np.asarray(z), dx, dy, up)
+    I = sweep(plan, S, alpha, I0, n_sweeps=n_sweeps)
+    return I[:, 0] if squeeze else I

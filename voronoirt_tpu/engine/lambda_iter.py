@@ -1,0 +1,304 @@
+"""NLTE Lambda-iteration engine (L4).
+
+Reference parity: src/lambda_iteration.jl -- J_lambda_regular (:1-58),
+J_lambda_voronoi (:60-113), Lambda_regular (:116-205), Lambda_voronoi
+(:207-297), criterion (:299-349).
+
+Iteration scheme (identical to the reference):
+  * LTE populations, continuum extinction at line centre, destruction
+    probability eps(lam0) and collisional rates C are computed once and
+    FROZEN for the whole iteration (lambda_iteration.jl:124-154 -- the
+    reference's "fidelity traps"; SURVEY.md §7).
+  * Each iteration: damping(gamma(populations)) -> per-angle Voigt
+    profiles with line-of-sight velocity (-k) -> alpha_tot ->
+    formal solution for every (angle, wavelength) -> J = sum of weighted
+    sweeps -> S = (1 - eps) J + eps B -> radiative rates R(J) ->
+    statistical equilibrium -> revised populations.
+  * Convergence: max over wavelengths of max relative S change,
+    NaN-checked, vs cfg.eps with cfg.maxiter cap.
+
+TPU design: wavelengths are a vectorized batch axis through the sweep
+(the reference forks Julia threads per wavelength,
+lambda_iteration.jl:30,91); angles are a serial loop of statically
+planned sweeps locally and a sharded mesh axis in parallel runs
+(parallel/mesh.py).  All heavy math is jitted; the outer while loop,
+convergence print and checkpointing stay on the host like the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..quadrature import get_quadrature
+from ..physics.planck import B_lambda
+from ..physics.atom import (alpha_line, compute_profile, destruction,
+                            line_of_sight_velocity)
+from ..physics.broadening import gamma_constant, damping
+from ..physics.lte import lte_populations
+from ..physics.opacity import alpha_absorption, alpha_scattering
+from ..physics.rates import calculate_R, calculate_C
+from ..physics.stateq import get_revised_populations
+from ..solvers.sweep_regular import build_plan, sweep as sweep_regular
+from ..solvers.sweep_voronoi import sweep_voronoi
+
+
+@dataclasses.dataclass
+class NLTEResult:
+    J: np.ndarray
+    S: np.ndarray
+    alpha_cont: np.ndarray
+    populations: np.ndarray
+    convergence: list
+    iterations: int
+    converged: bool
+    timings: list
+
+
+# ------------------------------------------------------------- setup
+
+
+def frozen_setup(line, temperature, electron_density, hydrogen_density,
+                 cfg: Config):
+    """LTE pops, alpha_cont(lam0), eps(lam0), C, B_0 -- all frozen.
+
+    Mirrors lambda_iteration.jl:124-154 / :216-247.
+    """
+    lte = lte_populations(line, temperature, electron_density,
+                          hydrogen_density)
+    a_cont = alpha_absorption(line.lam0, temperature, electron_density,
+                              lte[..., 0] + lte[..., 1], lte[..., 2])
+    a_cont = a_cont + alpha_scattering(line.lam0, electron_density,
+                                       lte[..., 0])
+    eps = destruction(lte, electron_density, temperature, line,
+                      boost=cfg.boost)
+    C = calculate_C(electron_density, temperature, lte, boost=cfg.boost)
+    lam = jnp.asarray(line.lam)
+    B0 = B_lambda(lam.reshape((-1,) + (1,) * temperature.ndim),
+                  temperature[None])
+    return lte, a_cont, eps, C, B0
+
+
+@partial(jax.jit, static_argnames=("line",))
+def _damping_lambda(line, temperature, n_neutral, electron_density,
+                    gamma_natural):
+    g = gamma_constant(line, temperature, n_neutral, electron_density,
+                       gamma_natural)
+    lam = jnp.asarray(line.lam).reshape((-1,) + (1,) * temperature.ndim)
+    return damping(g[None], lam, line.dlamD[None])
+
+
+@partial(jax.jit, static_argnames=("line",))
+def _alpha_tot(line, damping_lam, v_los, populations, alpha_cont):
+    """alpha_line(profile(angle)) + alpha_cont, per wavelength."""
+    profile = compute_profile(line, jnp.asarray(line.lam), damping_lam,
+                              v_los)
+    a_line = alpha_line(line, profile, populations[..., 1],
+                        populations[..., 0])
+    return a_line + alpha_cont[None]
+
+
+@partial(jax.jit, static_argnames=("line",))
+def _update_S(line, eps, J, B0):
+    return (1.0 - eps)[None] * J + eps[None] * B0
+
+
+@partial(jax.jit, static_argnames=("line", "compat"))
+def _rates_and_populations(line, J, damping_lam, lte, C, temperature,
+                           hydrogen_density, compat):
+    R = calculate_R(line, J, damping_lam, lte, temperature, compat=compat)
+    pops = get_revised_populations(R, C, hydrogen_density)
+    return pops
+
+
+def _criterion(S_new, S_old):
+    """max over lam of max |1 - S_old/S_new| (lambda_iteration.jl:299-349)."""
+    diff = jnp.max(jnp.abs(1.0 - S_old / S_new))
+    return float(diff)
+
+
+# --------------------------------------------------------- regular grid
+
+
+class RegularEngine:
+    """Lambda iteration on the regular grid.
+
+    Field layout: (nlam, nz, nx, ny); sweeps run transposed to
+    (nz, nlam, nx, ny).
+    """
+
+    def __init__(self, atmos, line, cfg: Config, quadrature=None):
+        self.atmos = atmos
+        self.line = line
+        self.cfg = cfg
+        self.quad = get_quadrature(quadrature or cfg.quadrature)
+        self.plans = []
+        z = np.asarray(atmos.z)
+        for i in range(self.quad.n_angles):
+            k = self.quad.k[i]
+            up = bool(self.quad.is_up[i])
+            self.plans.append(build_plan(k, z, atmos.dx, atmos.dy, up))
+        self.T = jnp.asarray(atmos.temperature)
+        self.ne = jnp.asarray(atmos.electron_density)
+        self.nH = jnp.asarray(atmos.hydrogen_populations)
+        self.v = jnp.asarray(atmos.velocity_zxy())
+        (self.lte, self.a_cont, self.eps, self.C,
+         self.B0) = frozen_setup(line, self.T, self.ne, self.nH, cfg)
+
+    def compute_J(self, S, populations, damping_lam):
+        """J accumulation over the quadrature (J_lambda_regular)."""
+        line, quad = self.line, self.quad
+        J = jnp.zeros_like(S)
+        T_bottom = self.T[0]
+        lam = jnp.asarray(line.lam)
+        for i in range(quad.n_angles):
+            k = quad.k[i]
+            plan = self.plans[i]
+            v_los = line_of_sight_velocity(self.v, -k)
+            a_tot = _alpha_tot(line, damping_lam, v_los, populations,
+                               self.a_cont)
+            S_t = jnp.swapaxes(S, 0, 1)       # (nz, nlam, nx, ny)
+            a_t = jnp.swapaxes(a_tot, 0, 1)
+            if plan.up:
+                I0 = B_lambda(lam[:, None, None], T_bottom[None])
+            else:
+                I0 = jnp.zeros_like(S[:, 0])
+            I = sweep_regular(plan, S_t, a_t, I0,
+                              n_sweeps=self.cfg.n_sweeps)
+            J = J + quad.weights[i] * jnp.swapaxes(I, 0, 1)
+        return J
+
+    def damping_lam(self, populations):
+        return _damping_lambda(self.line, self.T,
+                               populations[..., 0] + populations[..., 1],
+                               self.ne, self.cfg.gamma_natural)
+
+    def bottom_boundary(self):
+        lam = jnp.asarray(self.line.lam)
+        return B_lambda(lam[:, None, None], self.T[0][None])
+
+    def run(self, checkpoint=None):
+        return _run_iteration(self, checkpoint)
+
+
+# --------------------------------------------------------- voronoi grid
+
+
+class VoronoiEngine:
+    """Lambda iteration on the irregular grid.
+
+    Field layout: (nlam, n_sites).
+    """
+
+    def __init__(self, sites, line, cfg: Config, quadrature=None):
+        from ..grid.voronoi import build_voronoi_plan
+        self.sites = sites
+        self.line = line
+        self.cfg = cfg
+        self.quad = get_quadrature(quadrature or cfg.quadrature)
+        self.plans = []
+        for i in range(self.quad.n_angles):
+            k = self.quad.k[i]
+            up = bool(self.quad.is_up[i])
+            self.plans.append(build_voronoi_plan(
+                sites, k, up, p=cfg.upwind_exponent, compat=cfg.compat))
+        self.T = jnp.asarray(sites.temperature)
+        self.ne = jnp.asarray(sites.electron_density)
+        self.nH = jnp.asarray(sites.hydrogen_populations)
+        self.v = jnp.asarray(sites.velocity_zxy())
+        (self.lte, self.a_cont, self.eps, self.C,
+         self.B0) = frozen_setup(line, self.T, self.ne, self.nH, cfg)
+
+    def compute_J(self, S, populations, damping_lam):
+        """J accumulation over the quadrature (J_lambda_voronoi)."""
+        line, quad = self.line, self.quad
+        J = jnp.zeros_like(S)
+        lam = jnp.asarray(line.lam)
+        for i in range(quad.n_angles):
+            k = quad.k[i]
+            plan = self.plans[i]
+            v_los = line_of_sight_velocity(self.v, -k)
+            a_tot = _alpha_tot(line, damping_lam, v_los, populations,
+                               self.a_cont)
+            if plan.up:
+                I0 = B_lambda(lam[:, None], self.T[plan.bc_sites][None])
+            else:
+                I0 = jnp.zeros((len(line.lam), len(plan.bc_sites)),
+                               S.dtype)
+            I = sweep_voronoi(plan, S, a_tot, I0,
+                              n_sweeps=self.cfg.n_sweeps)
+            J = J + quad.weights[i] * I
+        return J
+
+    def damping_lam(self, populations):
+        return _damping_lambda(self.line, self.T,
+                               populations[..., 0] + populations[..., 1],
+                               self.ne, self.cfg.gamma_natural)
+
+    def run(self, checkpoint=None):
+        return _run_iteration(self, checkpoint)
+
+
+# --------------------------------------------------------- outer loop
+
+
+def _run_iteration(engine, checkpoint=None, start_iteration=0, S_init=None,
+                   populations_init=None):
+    """Host-side while loop: iterate until converged (Lambda_regular /
+    Lambda_voronoi), checkpointing every iteration like the reference
+    (lambda_iteration.jl:188-189,280-281)."""
+    cfg = engine.cfg
+    line = engine.line
+
+    populations = (jnp.asarray(populations_init)
+                   if populations_init is not None else engine.lte)
+    S_new = jnp.asarray(S_init) if S_init is not None else engine.B0
+    S_old = jnp.zeros_like(S_new)
+
+    convergence = []
+    timings = []
+    J = None
+    i = start_iteration
+    while True:
+        diff = _criterion(S_new, S_old)
+        convergence.append(diff)
+        if checkpoint is not None:
+            checkpoint.write_convergence(i + 1, diff)
+        if np.isnan(diff):
+            print(f"NaN convergence at iteration {i}")
+        if i > 0:
+            print(f"   Rel. diff.: {diff}")
+        print(f"Iteration {i + 1}...")
+        if not (diff > cfg.eps and i < cfg.maxiter):
+            break
+
+        t0 = time.time()
+        S_old = S_new
+        damping_lam = engine.damping_lam(populations)
+        J = engine.compute_J(S_old, populations, damping_lam)
+        S_new = _update_S(line, engine.eps, J, engine.B0)
+        populations = _rates_and_populations(
+            line, J, damping_lam, engine.lte, engine.C, engine.T,
+            engine.nH, cfg.compat)
+        jax.block_until_ready(populations)
+        timings.append(time.time() - t0)
+
+        if checkpoint is not None and (i % cfg.checkpoint_every == 0):
+            checkpoint.write_state(np.asarray(populations),
+                                   np.asarray(S_new))
+        i += 1
+
+    converged = convergence[-1] <= cfg.eps
+    print(("Converged in %d iterations" % i) if converged
+          else "Did not converge inside scope")
+    return NLTEResult(J=np.asarray(J) if J is not None else None,
+                      S=np.asarray(S_new), alpha_cont=np.asarray(engine.a_cont),
+                      populations=np.asarray(populations),
+                      convergence=convergence, iterations=i,
+                      converged=converged, timings=timings)

@@ -85,13 +85,16 @@ def sample_lambda_boundfree(nlam, lam_min, chi_l, chi_inf):
     return np.linspace(lam_min, lam_max, nlam)
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class HydrogenicLine:
     """Two-level-plus-continuum hydrogenic line (src/line.jl:14-72).
 
     Energies in J, wavelengths in m; Bij/Bji per SI J_lambda [W m^-3]
     (multiply intensities in IUNIT by constants.IUNIT_SI before use, or
     use the *_iunit properties).
+
+    eq=False keeps identity hashing so a line instance can be a static
+    jit argument (per-instance compilation).
     """
     Aji: float
     Bji: float

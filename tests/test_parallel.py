@@ -1,0 +1,60 @@
+"""Sharded-vs-unsharded equality on a virtual 8-device CPU mesh.
+
+The multi-host/distributed contract (SURVEY.md §4.4): the same fixture on
+a mesh must equal the 1-device result up to reduction order.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from voronoirt_tpu import Config, synthetic_atmosphere
+from voronoirt_tpu.physics import lyman_alpha_line
+from voronoirt_tpu.engine import RegularEngine
+from voronoirt_tpu.parallel import make_mesh, shard_regular
+
+
+def _run_one_iteration(eng):
+    from voronoirt_tpu.engine.lambda_iter import (_update_S,
+                                                  _rates_and_populations)
+    pops = eng.lte
+    S = eng.B0
+    damping_lam = eng.damping_lam(pops)
+    J = eng.compute_J(S, pops, damping_lam)
+    S_new = _update_S(eng.line, eng.eps, J, eng.B0)
+    pops_new = _rates_and_populations(eng.line, J, damping_lam, eng.lte,
+                                      eng.C, eng.T, eng.nH, eng.cfg.compat)
+    return np.asarray(J), np.asarray(S_new), np.asarray(pops_new)
+
+
+@pytest.mark.parametrize("mesh_shape,axes", [((8,), ("y",)),
+                                             ((2, 4), ("lam", "y"))])
+def test_regular_sharded_matches_unsharded(mesh_shape, axes):
+    assert len(jax.devices()) >= 8
+    atmos = synthetic_atmosphere(nz=8, nx=8, ny=8, seed=3)
+    cfg = Config(nlam_bb=5, nlam_bf=3, quadrature="ul2n3")  # nlam = 11
+    # lambda axis (11) is not divisible by 2 -> only shard it when the
+    # mesh really has a lam axis of size dividing nlam; use nlam=11 with
+    # lam axis 1 unsupported -> instead pick nlam divisible: nbb=5,nbf=3
+    # gives 11; for the (2,4) case use a padded-lambda config below.
+    line = lyman_alpha_line(cfg.nlam_bb, cfg.nlam_bf,
+                            jnp.asarray(atmos.temperature))
+    if "lam" in axes and mesh_shape[axes.index("lam")] > 1:
+        # nlam is odd by construction (forced-odd bb grid): pad to the
+        # next multiple of the lam-shard count with dummy wavelengths
+        from voronoirt_tpu.physics.atom import pad_line
+        n_lam_shards = mesh_shape[axes.index("lam")]
+        target = -(-line.n_lambda // n_lam_shards) * n_lam_shards
+        line = pad_line(line, target)
+    ref_eng = RegularEngine(atmos, line, cfg)
+    J0, S0, P0 = _run_one_iteration(ref_eng)
+
+    eng = RegularEngine(atmos, line, cfg)
+    mesh = make_mesh(mesh_shape, axes)
+    shard_regular(eng, mesh)
+    J1, S1, P1 = _run_one_iteration(eng)
+
+    assert np.allclose(J0, J1, rtol=1e-10)
+    assert np.allclose(S0, S1, rtol=1e-10)
+    assert np.allclose(P0, P1, rtol=1e-8)

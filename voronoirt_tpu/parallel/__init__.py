@@ -1,0 +1,3 @@
+"""Distribution over device meshes (SURVEY.md §2 TPU-native equivalents)."""
+
+from .mesh import make_mesh, shard_regular, shard_voronoi

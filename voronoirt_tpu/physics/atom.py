@@ -177,6 +177,23 @@ def make_line(chi_u, chi_l, chi_inf, nlam_bb, nlam_bf, g_u, g_l, f_value,
         atom_weight=float(atom_weight), Z=Z, dlamD=dlamD)
 
 
+def pad_line(line, n_lambda):
+    """Pad the wavelength grid to n_lambda by duplicating the last point.
+
+    Sharding helper: the lambda axis must divide the mesh's "lam" axis;
+    padded wavelengths ride through profiles/sweeps as ordinary batch
+    entries and are ignored by the rate integrals (whose windows are the
+    static lam_idx head slices).
+    """
+    extra = n_lambda - len(line.lam)
+    if extra < 0:
+        raise ValueError("cannot shrink the wavelength grid")
+    if extra == 0:
+        return line
+    lam = np.concatenate([line.lam, np.repeat(line.lam[-1:], extra)])
+    return dataclasses.replace(line, lam=lam)
+
+
 # ------------------------------------------------------- per-cell fields
 
 def line_of_sight_velocity(velocity_zxy, k):

@@ -1,22 +1,25 @@
 """Formal-solution throughput benchmark (the do_timing analog).
 
 Workload: full ul7n12 quadrature (12 statically planned sweeps) over a
-Bifrost-like regular grid with a wavelength batch, random extinction and
-source fields (mirrors src/compare_searchlight.jl:358-490 `do_timing`,
-which times 12 angles x 1 lambda on the half-res 215x256x256 snapshot).
+Bifrost-like regular grid with a 16-wavelength batch (a realistic
+per-chip lambda chunk of the 91-point production grid), iterated as a
+Lambda-style dependency chain S <- 0.95 S + 0.05 J so repeated passes
+can neither be CSE'd nor overlapped incorrectly.  Mirrors
+src/compare_searchlight.jl:358-490 `do_timing` (12 angles x 1 lambda on
+the half-res 215x256x256 snapshot) scaled by the lambda batch.
 
-Metric: grid-points * rays / second / chip, rays = angles x wavelengths
-(every (point, angle, lambda) two-point formal-solution update counts
-once) -- the north-star metric of BASELINE.md.
+Timing: K passes inside one jitted call, one scalar host readback; the
+tunnel round-trip (measured with a null readback) is subtracted.
+
+Metric: grid-points * rays / second / chip, rays = angles x wavelengths.
 
 vs_baseline: ratio to the reference's best recorded throughput.  The
-only published numbers are full-NLTE wall-clock vs thread count
-(python/plot_threads_time.py: 6175 s @ 1 thread ... 2330 s @ 10
-threads).  The production workload is 12 angles x 91 lambda x 3.52e6
-grid points per iteration; assuming ~50 Lambda iterations for the run
-(convergence histories in the paper), the 10-thread throughput is
-    50 * 12 * 91 * 3.52e6 / 2330 s = 8.2e7 grid-points*rays/s.
-That estimate is REF_THROUGHPUT below; see BASELINE.md.
+only published numbers are full-NLTE wall time vs thread count
+(python/plot_threads_time.py: 6175 s @ 1 thread, 2330 s @ 10 threads).
+The production workload is 12 angles x 91 lambda x 3.52e6 points per
+iteration; assuming ~50 Lambda iterations per run, the 10-thread
+throughput is 50*12*91*3.52e6/2330 = 8.2e7 grid-points*rays/s
+(see BASELINE.md).
 """
 
 import json
@@ -41,9 +44,9 @@ def main(small=False):
     from voronoirt_tpu.solvers.sweep_regular import build_plan, sweep
 
     if small:
-        nz, nx, ny, nlam = 48, 64, 64, 2
+        nz, nx, ny, nlam, K = 48, 64, 64, 4, 2
     else:
-        nz, nx, ny, nlam = 192, 256, 256, 4
+        nz, nx, ny, nlam, K = 192, 256, 256, 16, 3
 
     # Bifrost-like geometry: dz ~ dx/2 (half-res snapshot proportions)
     dx = 62.5e3
@@ -52,33 +55,51 @@ def main(small=False):
 
     rng = np.random.default_rng(0)
     dtype = jnp.float32
-    S = jnp.asarray(rng.uniform(0.1, 1.0, (nz, nlam, nx, ny)), dtype)
+    S0 = jnp.asarray(rng.uniform(0.1, 1.0, (nz, nlam, nx, ny)), dtype)
     alpha = jnp.asarray(10.0 ** rng.uniform(-9, -5, (nz, nlam, nx, ny)),
                         dtype)
     I0 = jnp.asarray(rng.uniform(0.5, 1.0, (nlam, nx, ny)), dtype)
 
     plans = [build_plan(quad.k[i], z, dx, dx, bool(quad.is_up[i]))
              for i in range(quad.n_angles)]
+    w = [float(v) for v in quad.weights]
 
-    def J_pass():
+    def J_pass(S):
         J = jnp.zeros_like(S)
         for i, plan in enumerate(plans):
-            I = sweep(plan, S, alpha, I0, n_sweeps=3)
-            J = J + quad.weights[i] * I
+            J = J + w[i] * sweep(plan, S, alpha, I0, n_sweeps=3)
         return J
 
-    # warmup (compile)
+    mix = jax.jit(lambda S, J: 0.95 * S + 0.05 * J)
+    total = jax.jit(lambda S: jnp.sum(S))
+
+    def chained(S):
+        # async dispatch of K dependency-chained passes; a single scalar
+        # readback at the end synchronizes the whole chain (per-call
+        # block_until_ready does not synchronize through the tunnel).
+        for _ in range(K):
+            J = J_pass(S)
+            S = mix(S, J)
+        return float(total(S))
+
+    # round-trip latency of a null readback
+    null = jax.jit(lambda x: x + 1.0)
+    _ = float(null(1.0))
     t0 = time.time()
-    J = J_pass()
-    jax.block_until_ready(J)
-    compile_and_first = time.time() - t0
+    for _ in range(5):
+        _ = float(null(1.0))
+    rtt = (time.time() - t0) / 5
+
+    # warmup/compile
+    t0 = time.time()
+    _ = chained(S0)
+    compile_s = time.time() - t0
 
     reps = 3
     t0 = time.time()
     for _ in range(reps):
-        J = J_pass()
-    jax.block_until_ready(J)
-    dt = (time.time() - t0) / reps
+        _ = chained(S0)
+    dt = max((time.time() - t0) / reps - rtt, 1e-9) / K
 
     pts_rays = nz * nx * ny * quad.n_angles * nlam
     throughput = pts_rays / dt
@@ -89,7 +110,8 @@ def main(small=False):
         "vs_baseline": throughput / REF_THROUGHPUT,
         "grid": [nz, nx, ny], "nlam": nlam,
         "seconds_per_J_pass": dt,
-        "first_pass_seconds": compile_and_first,
+        "rtt_seconds": rtt,
+        "compile_seconds": compile_s,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

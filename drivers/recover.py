@@ -1,0 +1,93 @@
+"""Resume a crashed/killed NLTE run from its checkpoint file.
+
+Reference parity: src/recover_simulation.jl (recover_regular :4-101,
+recover_voronoi :103-206): rebuild all frozen state from the inputs, read
+populations + S from the HDF5 output, scan the convergence dataset for
+the first zero, and re-enter the Lambda loop mid-stream.
+
+The checkpoint schema stores the full atmosphere/site fields, so --data
+is only needed to regenerate nothing: everything is reloaded from the
+file itself (an improvement over the reference, which re-runs voro++;
+the tessellation here is re-derived from the stored positions).
+
+Usage:
+  python drivers/recover.py out.h5 [--eps E] [--maxiter N]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def load_engine_from_checkpoint(path, cfg):
+    import h5py
+    import jax.numpy as jnp
+    from voronoirt_tpu.atmosphere import Atmosphere
+    from voronoirt_tpu.physics import lyman_alpha_line
+    from voronoirt_tpu.engine import RegularEngine, VoronoiEngine
+
+    with h5py.File(path, "r") as f:
+        n_bb = int(f["n_bb"][0])
+        n_bf = int(f["n_bf"][0])
+        is_voronoi = "positions" in f
+        fields = {k: np.asarray(f[k]) for k in
+                  ("temperature", "electron_density",
+                   "hydrogen_populations", "velocity_z", "velocity_x",
+                   "velocity_y")}
+        if is_voronoi:
+            positions = np.asarray(f["positions"]).T
+            bounds = tuple(np.asarray(f["boundaries"]))
+        else:
+            z = np.asarray(f["z"])
+            x = np.asarray(f["x"])
+            y = np.asarray(f["y"])
+
+    if is_voronoi:
+        from voronoirt_tpu.grid import build_sites
+        sites = build_sites(positions, bounds, fields)
+        line = lyman_alpha_line(n_bb, n_bf,
+                                jnp.asarray(sites.temperature))
+        return VoronoiEngine(sites, line, cfg), line
+    atmos = Atmosphere(z=z, x=x, y=y, **fields)
+    line = lyman_alpha_line(n_bb, n_bf, jnp.asarray(atmos.temperature))
+    return RegularEngine(atmos, line, cfg), line
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("checkpoint")
+    ap.add_argument("--eps", type=float, default=1e-3)
+    ap.add_argument("--maxiter", type=int, default=150)
+    ap.add_argument("--quadrature", default="ul7n12")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    from voronoirt_tpu import Config
+    from voronoirt_tpu.engine.checkpoint import CheckpointFile, recover
+
+    ckpt = CheckpointFile(args.checkpoint)
+    import h5py
+    with h5py.File(args.checkpoint, "r") as f:
+        n_bb, n_bf = int(f["n_bb"][0]), int(f["n_bf"][0])
+    cfg = Config(eps=args.eps, maxiter=args.maxiter, nlam_bb=n_bb,
+                 nlam_bf=n_bf, quadrature=args.quadrature)
+
+    eng, line = load_engine_from_checkpoint(args.checkpoint, cfg)
+    it = ckpt.resume_iteration()
+    print(f"---Resuming at iteration {it}---")
+    t0 = time.time()
+    res = recover(eng, args.checkpoint)
+    print(json.dumps({"resumed_at": it, "iterations": res.iterations,
+                      "converged": res.converged,
+                      "wall_seconds": time.time() - t0}))
+
+
+if __name__ == "__main__":
+    main()

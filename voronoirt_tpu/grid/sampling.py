@@ -111,11 +111,75 @@ def density_destruction(atmos, line, lte_pops, boost=2.0e9):
     return np.asarray(eps)
 
 
+def density_total_extinction(atmos, lte_pops=None, line=None):
+    """log10(alpha_line(lam0, vertical LOS) + alpha_cont(lam0))
+    (sample_grids.jl:51-86)."""
+    import jax.numpy as jnp
+    from ..physics import (lyman_alpha_line, lte_populations,
+                          gamma_constant, alpha_line, voigt_profile,
+                          line_of_sight_velocity)
+    from ..physics.broadening import damping
+    from ..constants import c_0
+    T = jnp.asarray(atmos.temperature)
+    ne = jnp.asarray(atmos.electron_density)
+    if line is None:
+        line = lyman_alpha_line(1, 1, T)
+    if lte_pops is None:
+        lte_pops = lte_populations(line, T, ne,
+                                   jnp.asarray(atmos.hydrogen_populations))
+    g = gamma_constant(line, T, lte_pops[..., 0] + lte_pops[..., 1], ne)
+    a = damping(g, line.lam0, line.dlamD)
+    k = np.array([-1.0, 0.0, 0.0])   # straight up
+    v_los = line_of_sight_velocity(jnp.asarray(atmos.velocity_zxy()), -k)
+    v = line.lam0 * v_los / c_0 / line.dlamD
+    profile = voigt_profile(a, v, line.dlamD)
+    a_line = alpha_line(line, profile, lte_pops[..., 1], lte_pops[..., 0])
+    a_cont = 10.0 ** density_extinction(atmos, line.lam0,
+                                        np.asarray(lte_pops))
+    return np.log10(np.asarray(a_line) + a_cont)
+
+
+def density_avg_extinction(atmos, populations, S_lam, line,
+                           quadrature="ul7n12"):
+    """Quadrature-weighted line+continuum extinction at line centre
+    (sample_grids.jl:136-196 sample_from_avg_ext); needs a previous run's
+    populations."""
+    import jax.numpy as jnp
+    from ..quadrature import get_quadrature
+    from ..physics import (lte_populations, gamma_constant, alpha_line,
+                          voigt_profile, line_of_sight_velocity)
+    from ..physics.broadening import damping
+    from ..constants import c_0
+    T = jnp.asarray(atmos.temperature)
+    ne = jnp.asarray(atmos.electron_density)
+    lte = lte_populations(line, T, ne,
+                          jnp.asarray(atmos.hydrogen_populations))
+    g = gamma_constant(line, T,
+                       jnp.asarray(populations[..., 0] + populations[..., 1]),
+                       ne)
+    a_damp = damping(g, line.lam0, line.dlamD)
+    a_cont = 10.0 ** density_extinction(atmos, line.lam0, np.asarray(lte))
+    quad = get_quadrature(quadrature)
+    v_field = jnp.asarray(atmos.velocity_zxy())
+    alpha_int = np.zeros(atmos.shape)
+    for i in range(quad.n_angles):
+        k = quad.k[i]
+        v_los = line_of_sight_velocity(v_field, -k)
+        v = line.lam0 * v_los / c_0 / line.dlamD
+        profile = voigt_profile(a_damp, v, line.dlamD)
+        a_line = alpha_line(line, profile,
+                            jnp.asarray(populations[..., 1]),
+                            jnp.asarray(populations[..., 0]))
+        alpha_int += quad.weights[i] * np.asarray(a_line + a_cont)
+    return np.log10(alpha_int)
+
+
 DENSITIES = {
     "invNH_invT": density_invNH_invT,
     "logNH_invT": density_logNH_invT,
     "logNH_invT_rootv": density_logNH_invT_rootv,
     "temp_gradient": density_temp_gradient,
+    "total_extinction": density_total_extinction,
 }
 
 

@@ -18,9 +18,21 @@ _SQRT_PI = float(np.sqrt(np.pi))
 
 
 def humlicek_w(a, v):
-    """Complex probability function w(z), z = v + i a, for a >= 0."""
+    """Complex probability function w(z), z = v + i a, for a >= 0.
+
+    Complex dtype: complex128 on CPU float64 runs (exactness for the
+    oracle tests); complex64 otherwise -- TPU's x64 rewriter has no
+    f64->c128 expansion, and the w4 rational approximation error (~1e-4)
+    dominates c64 rounding anyway.
+    """
+    import jax
+    in_dtype = jnp.result_type(a, v)
+    if in_dtype == jnp.float64 and jax.default_backend() == "cpu":
+        cdtype = jnp.complex128
+    else:
+        cdtype = jnp.complex64
     # Humlicek works with t = a - i v.
-    t = a - 1j * jnp.asarray(v, dtype=jnp.result_type(v, 0.0))
+    t = (jnp.asarray(a) - 1j * jnp.asarray(v)).astype(cdtype)
     s = jnp.abs(v) + a
 
     # Region I: s >= 15

@@ -313,6 +313,28 @@ def _march_plane(plan, case, n_sweeps, w_cur, carry_I, alpha_c, alpha_p,
 
 # ----------------------------------------------------------------- sweep
 
+def _pallas_b_block(B, nx, ny, budget_bytes=13 * 2**20):
+    """Largest divisor of B whose six-plane VMEM footprint fits.
+
+    8 sublanes = a full f32 VPU tile; prefer multiples of 8 when the
+    budget allows (per-step slices are (b_block, Ny) vectors)."""
+    cap = max(1, budget_bytes // (6 * 4 * nx * ny))
+    b = min(B, cap)
+    while B % b:
+        b -= 1
+    return b
+
+
+def _use_pallas(dtype):
+    """Marching kernels run the fused Pallas path on TPU float32.
+
+    The platform may register as 'tpu' or (tunnelled) 'axon'; both are
+    TPU backends with Mosaic support.
+    """
+    return (dtype == jnp.float32
+            and jax.default_backend() in ("tpu", "axon"))
+
+
 @partial(jax.jit, static_argnames=("plan", "n_sweeps"))
 def sweep(plan: RegularPlan, S, alpha, I0, z_unused=None, n_sweeps=3):
     """Formal solution along direction plan.k over the whole grid.
@@ -345,14 +367,54 @@ def sweep(plan: RegularPlan, S, alpha, I0, z_unused=None, n_sweeps=3):
             xs = (alpha_c, alpha_p, S_c, S_p,
                   jnp.asarray(seg.r), jnp.asarray(seg.fx),
                   jnp.asarray(seg.fy), jnp.asarray(seg.w_cur))
-            carry, ys = jax.lax.scan(partial(_xy_step, plan), carry, xs)
+            if _use_pallas(S.dtype):
+                from .pallas_xy import xy_plane_pallas
+                B, nxp, nyp = I0.shape
+
+                def xy_body(carry_I, xs_step):
+                    a_c, a_p, s_c, s_p, r, fx, fy, _wc = xs_step
+                    I_new = xy_plane_pallas(
+                        a_p, a_c, s_p, s_c, carry_I, r, fx, fy,
+                        sxs=plan.sxs, sys=plan.sys,
+                        b_block=_pallas_b_block(B, nxp, nyp))
+                    return I_new, I_new
+
+                carry, ys = jax.lax.scan(xy_body, carry, xs)
+            else:
+                carry, ys = jax.lax.scan(partial(_xy_step, plan), carry,
+                                         xs)
         else:
             centre = "prev" if (seg.case == "xz" and not plan.up) else "cur"
+            pallas_path = _use_pallas(S.dtype)
 
             def plane_body(carry_I, xs, case=seg.case, centre=centre):
                 a_c, a_p, s_c, s_p, wc = xs
-                I_new = _march_plane(plan, case, n_sweeps, wc, carry_I,
-                                     a_c, a_p, s_c, s_p, centre)
+                if pallas_path:
+                    from .pallas_march import march_plane_pallas
+                    B, nx, ny = a_c.shape
+                    if case == "yz":
+                        I_new = march_plane_pallas(
+                            a_p, a_c, s_p, s_c, carry_I, wc,
+                            sign=plan.sign_x, s_base=plan.sys,
+                            f_line=plan.fy_line, r=plan.r_x,
+                            n_sweeps=n_sweeps,
+                            centre_prev=(centre == "prev"),
+                            b_block=_pallas_b_block(B, nx, ny,
+                                                    budget_bytes=10 * 2**20))
+                    else:
+                        tr = lambda A: jnp.swapaxes(A, -1, -2)
+                        I_new = tr(march_plane_pallas(
+                            tr(a_p), tr(a_c), tr(s_p), tr(s_c),
+                            tr(carry_I), wc,
+                            sign=plan.sign_y, s_base=plan.sxs,
+                            f_line=plan.fx_line, r=plan.r_y,
+                            n_sweeps=n_sweeps,
+                            centre_prev=(centre == "prev"),
+                            b_block=_pallas_b_block(B, ny, nx,
+                                                    budget_bytes=10 * 2**20)))
+                else:
+                    I_new = _march_plane(plan, case, n_sweeps, wc, carry_I,
+                                         a_c, a_p, s_c, s_p, centre)
                 return I_new, I_new
 
             xs = (alpha_c, alpha_p, S_c, S_p, jnp.asarray(seg.w_cur))

@@ -32,7 +32,11 @@ def main(small=False):
     import jax
 
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        import os
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".cache", "jax")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:

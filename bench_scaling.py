@@ -1,0 +1,68 @@
+"""Scaling-efficiency harness (the plot_threads_time.py analog).
+
+Runs one jitted Lambda-iteration J pass at increasing mesh sizes and
+reports parallel efficiency (BASELINE.md north star: >=80% at 1 chip /
+1 host / N>=2 hosts).  On a single-chip environment this exercises the
+sharding mechanism on virtual CPU devices (mechanism validation, not a
+hardware measurement -- virtual devices share the same cores); on a real
+pod slice the same harness measures true ICI/DCN scaling.
+
+Output: one JSON line per mesh size + an efficiency summary.
+"""
+
+import json
+import time
+
+
+def run(mesh_sizes=(1, 2, 4, 8), platform="cpu", nz=16, nx=16, ny=32,
+        nlam_bb=5, nlam_bf=3):
+    from voronoirt_tpu.platform import setup
+    setup(platform=platform, x64=True, n_cpu_devices=max(mesh_sizes))
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from voronoirt_tpu import Config, synthetic_atmosphere
+    from voronoirt_tpu.physics import lyman_alpha_line
+    from voronoirt_tpu.engine import RegularEngine
+    from voronoirt_tpu.parallel import make_mesh, shard_regular
+
+    cfg = Config(nlam_bb=nlam_bb, nlam_bf=nlam_bf, quadrature="ul2n3")
+    atmos = synthetic_atmosphere(nz=nz, nx=nx, ny=ny, seed=3)
+    line = lyman_alpha_line(cfg.nlam_bb, cfg.nlam_bf,
+                            jnp.asarray(atmos.temperature))
+
+    results = []
+    for n_dev in mesh_sizes:
+        eng = RegularEngine(atmos, line, cfg)
+        if n_dev > 1:
+            mesh = make_mesh((n_dev,), ("y",),
+                             devices=jax.devices()[:n_dev])
+            shard_regular(eng, mesh)
+
+        def one_pass():
+            damping_lam = eng.damping_lam(eng.lte)
+            J = eng.compute_J(eng.B0, eng.lte, damping_lam)
+            return J
+
+        jax.block_until_ready(one_pass())  # compile
+        reps = 3
+        t0 = time.time()
+        for _ in range(reps):
+            J = one_pass()
+        jax.block_until_ready(J)
+        dt = (time.time() - t0) / reps
+        results.append({"devices": n_dev, "seconds_per_J": dt})
+        print(json.dumps(results[-1]))
+
+    t1 = results[0]["seconds_per_J"]
+    for r in results:
+        r["efficiency"] = t1 / (r["seconds_per_J"] * r["devices"])
+    print(json.dumps({"scaling": results}))
+    return results
+
+
+if __name__ == "__main__":
+    import sys
+    sizes = tuple(int(s) for s in sys.argv[1:]) or (1, 2, 4, 8)
+    run(mesh_sizes=sizes)

@@ -21,6 +21,10 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# VRT_PLATFORM=cpu forces the CPU backend even when jax was preloaded
+from voronoirt_tpu.platform import setup as _platform_setup
+_platform_setup(platform=os.environ.get("VRT_PLATFORM") or None, x64=True)
+
 import numpy as np
 
 LAMBDA0 = 500e-9

@@ -34,11 +34,14 @@ def test_matches_xla_march(sign, s_base, f_line, centre_prev):
         jnp.asarray(a_c), jnp.asarray(a_p), jnp.asarray(s_c),
         jnp.asarray(s_p), "prev" if centre_prev else "cur"))
 
+    # pallas kernel takes the march axis leading: (Nx, B, Ny)
+    t = lambda A: np.transpose(A, (1, 0, 2))
     got_pl = np.asarray(march_plane_pallas(
-        jnp.asarray(a_p), jnp.asarray(a_c), jnp.asarray(s_p),
-        jnp.asarray(s_c), jnp.asarray(i_p), w_cur, sign=sign,
+        jnp.asarray(t(a_p)), jnp.asarray(t(a_c)), jnp.asarray(t(s_p)),
+        jnp.asarray(t(s_c)), jnp.asarray(t(i_p)), w_cur, sign=sign,
         s_base=s_base, f_line=f_line, r=r, n_sweeps=3,
         centre_prev=centre_prev, b_block=2, interpret=True))
+    got_pl = np.transpose(got_pl, (1, 0, 2))
 
     assert np.allclose(got_pl, got_xla, rtol=2e-5, atol=1e-6)
 

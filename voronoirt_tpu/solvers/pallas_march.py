@@ -1,18 +1,18 @@
 """Pallas TPU kernel for the in-plane marching sweep (yz/xz cases).
 
-The XLA lax.scan formulation of the marching cases pays per-step loop
-overhead and HBM round-trips for every one-column update (256 columns x
-3 sweeps x 191 planes of (B, Ny) slices); measured ~125 ms per sweep on
-a v5e chip vs ~6 ms for the vectorized xy case.  This kernel runs the
-whole plane's n_sweeps x Nx march inside one pallas_call with every
-plane VMEM-resident, so each column step is a VPU-only operation.
+The XLA lax.scan formulation re-reads every plane three times (the
+n_sweeps passes) and materializes gathered copies, making the marching
+cases HBM-bound (~165 ms per 192-plane sweep at B=16 on a v5e chip).
+This kernel keeps all six planes VMEM-resident for the whole
+n_sweeps x Nx march, so HBM sees each plane exactly once.
 
-Layout: planes (B, Nx, Ny) float32, marching over axis 1 ("x"), the
-(B, Ny) line vectorized.  The xz case is served by transposing x<->y
-outside (see sweep_regular._march_plane_fast).  The lambda batch B is
-blocked via the pallas grid so six planes fit VMEM.
+Layout: planes (Nx, B, Ny) float32 -- the march axis LEADS so every
+column step slices a contiguous (B, Ny) tile.  The caller transposes
+once around the whole z-scan (sweep_regular), not per plane.  The xz
+case additionally swaps x<->y.  The lambda batch B is blocked via the
+pallas grid so six planes fit VMEM.
 
-Semantics are identical to sweep_regular._march_step (the reference's
+Semantics identical to sweep_regular._march_step (the reference's
 characteristics.jl:420-483 relaxation with its one-line buffer);
 equality is tested in tests/test_pallas_march.py via interpret mode.
 """
@@ -61,13 +61,13 @@ def _march_kernel(wc_ref, a_p, a_c, s_p, s_c, i_p, out, buf,
             ix = nx - 1 - i
             ixw = jnp.where(ix == 0, nx - 1, ix - 1)
 
-        a_pw = a_p[:, ixw, :]
-        a_cw = a_c[:, ixw, :]
-        s_pw = s_p[:, ixw, :]
-        s_cw = s_c[:, ixw, :]
-        i_pw = i_p[:, ixw, :]
-        a_c0 = a_cen_plane[:, ix, :]
-        s_c0 = s_cen_plane[:, ix, :]
+        a_pw = a_p[ixw]
+        a_cw = a_c[ixw]
+        s_pw = s_p[ixw]
+        s_cw = s_c[ixw]
+        i_pw = i_p[ixw]
+        a_c0 = a_cen_plane[ix]
+        s_c0 = s_cen_plane[ix]
 
         a_up = wp * yb(a_pw) + wc * yb(a_cw)
         dtau = r * (a_c0 + a_up) * 0.5
@@ -75,7 +75,7 @@ def _march_kernel(wc_ref, a_p, a_c, s_p, s_c, i_p, out, buf,
         s_up = wp * yb(s_pw) + wc * yb(s_cw)
         i_up = wp * yb(i_pw) + wc * yb(buf[...])
         i_new = ew * i_up + aw * s_up + bw * s_c0
-        out[:, ix, :] = i_new
+        out[ix] = i_new
         buf[...] = i_new
         return 0
 
@@ -88,12 +88,12 @@ def _march_kernel(wc_ref, a_p, a_c, s_p, s_c, i_p, out, buf,
                      "centre_prev", "b_block", "interpret"))
 def march_plane_pallas(alpha_p, alpha_c, S_p, S_c, I_p, w_cur, *, sign,
                        s_base, f_line, r, n_sweeps, centre_prev=False,
-                       b_block=4, interpret=False):
+                       b_block=8, interpret=False):
     """One z-plane of the marching sweep.
 
     Args:
-      alpha_p..I_p: (B, Nx, Ny) planes (prev-z / current-z extinction and
-        source, prev-z intensity).
+      alpha_p..I_p: (Nx, B, Ny) planes, MARCH AXIS LEADING (prev-z /
+        current-z extinction and source, prev-z intensity).
       w_cur: scalar z-interp weight of the current plane.
       sign: march direction (+1 ascending / -1 descending).
       s_base: orthogonal-axis stencil base shift (0 or -1).
@@ -101,14 +101,14 @@ def march_plane_pallas(alpha_p, alpha_c, S_p, S_c, I_p, w_cur, *, sign,
       r: path length (static).
       centre_prev: read centre alpha/S from the prev plane (the xz_down
         reference quirk, characteristics.jl:794,804).
-    Returns: (B, Nx, Ny) new intensity plane.
+    Returns: (Nx, B, Ny) new intensity plane.
     """
-    B, nx, ny = alpha_p.shape
+    nx, B, ny = alpha_p.shape
     while B % b_block:
         b_block -= 1
     grid = (B // b_block,)
 
-    spec = pl.BlockSpec((b_block, nx, ny), lambda b: (b, 0, 0),
+    spec = pl.BlockSpec((nx, b_block, ny), lambda b: (0, b, 0),
                         memory_space=pl.ANY if interpret else pltpu.VMEM)
     wc_arr = jnp.full((1,), w_cur, alpha_p.dtype)
 
@@ -121,7 +121,7 @@ def march_plane_pallas(alpha_p, alpha_c, S_p, S_c, I_p, w_cur, *, sign,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [spec] * 5,
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((B, nx, ny), alpha_p.dtype),
+        out_shape=jax.ShapeDtypeStruct((nx, B, ny), alpha_p.dtype),
         scratch_shapes=[pltpu.VMEM((b_block, ny), alpha_p.dtype)],
         interpret=interpret,
     )(wc_arr, alpha_p, alpha_c, S_p, S_c, I_p)

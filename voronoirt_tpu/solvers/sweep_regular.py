@@ -263,10 +263,36 @@ def _march_step(plan, f_line, s_base, n_sweeps, w_cur, cols, centre_cols,
     n_cols = alpha_pw.shape[0]
     wc_arr = jnp.broadcast_to(w_cur, (n_cols,))
     xs = (alpha_pw, alpha_cw, S_pw, S_cw, I_prev_cols, alpha_c0, S_c0, wc_arr)
+
+    # Unroll U columns per scan step: the column chain is sequential, but
+    # per-step loop overhead dominates the (B, Ny) line update, so
+    # amortizing it over U inlined updates is a large win on TPU.
+    U = 1
+    for cand in (8, 4, 2):
+        if n_cols % cand == 0:
+            U = cand
+            break
+
+    if U > 1:
+        xs = tuple(a.reshape((n_cols // U, U) + a.shape[1:]) for a in xs)
+
+        def block_body(buf, xs_block):
+            outs = []
+            for u in range(U):
+                buf, line = line_body(buf, tuple(a[u] for a in xs_block))
+                outs.append(line)
+            return buf, jnp.stack(outs)
+
+        body = block_body
+    else:
+        body = line_body
+
     buf = jnp.zeros_like(alpha_c0[0])
     lines = None
     for _ in range(n_sweeps):
-        buf, lines = jax.lax.scan(line_body, buf, xs)
+        buf, lines = jax.lax.scan(body, buf, xs)
+    if U > 1:
+        lines = lines.reshape((n_cols,) + lines.shape[2:])
     return lines
 
 
@@ -385,40 +411,62 @@ def sweep(plan: RegularPlan, S, alpha, I0, z_unused=None, n_sweeps=3):
                                          xs)
         else:
             centre = "prev" if (seg.case == "xz" and not plan.up) else "cur"
-            pallas_path = _use_pallas(S.dtype)
+            # Marching default = unrolled XLA scan.  The VMEM-resident
+            # Pallas march (flag VRT_PALLAS_MARCH=1) matches its runtime
+            # on v5e but is constrained by Mosaic's sublane-divisibility
+            # + grid double-buffering VMEM budget at 256^2 planes; see
+            # docs/ROADMAP.md "Pallas Voronoi layer kernel".
+            import os
+            pallas_path = (_use_pallas(S.dtype)
+                           and os.environ.get("VRT_PALLAS_MARCH") == "1")
 
-            def plane_body(carry_I, xs, case=seg.case, centre=centre):
-                a_c, a_p, s_c, s_p, wc = xs
-                if pallas_path:
-                    from .pallas_march import march_plane_pallas
-                    B, nx, ny = a_c.shape
-                    if case == "yz":
-                        I_new = march_plane_pallas(
-                            a_p, a_c, s_p, s_c, carry_I, wc,
-                            sign=plan.sign_x, s_base=plan.sys,
-                            f_line=plan.fy_line, r=plan.r_x,
-                            n_sweeps=n_sweeps,
-                            centre_prev=(centre == "prev"),
-                            b_block=_pallas_b_block(B, nx, ny,
-                                                    budget_bytes=10 * 2**20))
-                    else:
-                        tr = lambda A: jnp.swapaxes(A, -1, -2)
-                        I_new = tr(march_plane_pallas(
-                            tr(a_p), tr(a_c), tr(s_p), tr(s_c),
-                            tr(carry_I), wc,
-                            sign=plan.sign_y, s_base=plan.sxs,
-                            f_line=plan.fx_line, r=plan.r_y,
-                            n_sweeps=n_sweeps,
-                            centre_prev=(centre == "prev"),
-                            b_block=_pallas_b_block(B, ny, nx,
-                                                    budget_bytes=10 * 2**20)))
+            if pallas_path:
+                from .pallas_march import march_plane_pallas
+                # transpose ONCE around the whole z-scan so the march
+                # axis leads (contiguous column slices in VMEM); yz
+                # marches over x, xz over y.
+                if seg.case == "yz":
+                    perm4, perm3 = (0, 2, 1, 3), (1, 0, 2)
+                    inv3 = (1, 0, 2)
+                    sign, s_base = plan.sign_x, plan.sys
+                    f_line, r_m = plan.fy_line, plan.r_x
                 else:
-                    I_new = _march_plane(plan, case, n_sweeps, wc, carry_I,
-                                         a_c, a_p, s_c, s_p, centre)
-                return I_new, I_new
+                    perm4, perm3 = (0, 3, 1, 2), (2, 0, 1)
+                    inv3 = (1, 2, 0)
+                    sign, s_base = plan.sign_y, plan.sxs
+                    f_line, r_m = plan.fx_line, plan.r_y
 
-            xs = (alpha_c, alpha_p, S_c, S_p, jnp.asarray(seg.w_cur))
-            carry, ys = jax.lax.scan(plane_body, carry, xs)
+                t4 = lambda A: jnp.transpose(A, perm4)
+
+                # Mosaic requires the sublane (B) block dim divisible by
+                # 8 or full; 8 is the smallest legal block.
+                bb = 8 if I0.shape[0] % 8 == 0 else I0.shape[0]
+
+                def plane_body_p(carry_I, xs_step):
+                    a_c, a_p, s_c, s_p, wc = xs_step
+                    I_new = march_plane_pallas(
+                        a_p, a_c, s_p, s_c, carry_I, wc,
+                        sign=sign, s_base=s_base, f_line=f_line, r=r_m,
+                        n_sweeps=n_sweeps, b_block=bb,
+                        centre_prev=(centre == "prev"))
+                    return I_new, I_new
+
+                xs = (t4(alpha_c), t4(alpha_p), t4(S_c), t4(S_p),
+                      jnp.asarray(seg.w_cur))
+                carry_t = jnp.transpose(carry, perm3)
+                carry_t, ys_t = jax.lax.scan(plane_body_p, carry_t, xs)
+                carry = jnp.transpose(carry_t, inv3)
+                ys = jnp.transpose(ys_t, (0,) + tuple(a + 1 for a in inv3))
+            else:
+                def plane_body(carry_I, xs, case=seg.case, centre=centre):
+                    a_c, a_p, s_c, s_p, wc = xs
+                    I_new = _march_plane(plan, case, n_sweeps, wc,
+                                         carry_I, a_c, a_p, s_c, s_p,
+                                         centre)
+                    return I_new, I_new
+
+                xs = (alpha_c, alpha_p, S_c, S_p, jnp.asarray(seg.w_cur))
+                carry, ys = jax.lax.scan(plane_body, carry, xs)
         for j, i in enumerate(seg.steps):
             planes[i] = ys[j]
 

@@ -64,7 +64,8 @@ def test_xy_pallas_matches_xla():
                               (a_c, a_p, s_c, s_p, jnp.float32(1.3),
                                jnp.float32(fx), jnp.float32(fy),
                                jnp.float32(0.0)))
-        got = xy_plane_pallas(a_p, a_c, s_p, s_c, i_p, 1.3, fx, fy,
-                              sxs=sxs, sys=sys, b_block=2, interpret=True)
+        got = xy_plane_pallas(a_p, a_c, s_p, s_c, i_p, 1.3,
+                              sxs + fx, sys + fy, b_block=2,
+                              interpret=True)
         assert np.allclose(np.asarray(got), np.asarray(want), rtol=2e-5,
                            atol=1e-6), (sxs, sys, fx, fy)

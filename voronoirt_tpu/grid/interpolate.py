@@ -55,6 +55,42 @@ def initialise_sites(positions, atmos, log_fields=()):
     return out
 
 
+def initialise_nearest_corner(positions, atmos):
+    """Per-site fields from the nearest cell corner.
+
+    Mirrors `initialiseII` (voronoi_utils.jl:716-769): locate the grid
+    cell containing each site, pick the closest of its 8 corners, and
+    copy that corner's values.  (The reference's version also copies
+    electron_density into N_H -- a bug not reproduced here.)
+    """
+    zq, xq, yq = positions[:, 0], positions[:, 1], positions[:, 2]
+
+    def locate(axis, q):
+        i = np.searchsorted(axis, q, side="left") - 1
+        return np.clip(i, 0, len(axis) - 2)
+
+    iz, ix, iy = (locate(atmos.z, zq), locate(atmos.x, xq),
+                  locate(atmos.y, yq))
+    best_d = None
+    best = None
+    for dz_ in (0, 1):
+        for dx_ in (0, 1):
+            for dy_ in (0, 1):
+                d = ((atmos.z[iz + dz_] - zq) ** 2
+                     + (atmos.x[ix + dx_] - xq) ** 2
+                     + (atmos.y[iy + dy_] - yq) ** 2)
+                corner = (iz + dz_, ix + dx_, iy + dy_)
+                if best_d is None:
+                    best_d, best = d, [np.array(c) for c in corner]
+                else:
+                    better = d < best_d
+                    best_d = np.where(better, d, best_d)
+                    best = [np.where(better, c, b)
+                            for c, b in zip(corner, best)]
+    bz, bx, by = best
+    return {name: vals[bz, bx, by] for name, vals in atmos.fields().items()}
+
+
 def _grid_query_points(z, x, y):
     Z, X, Y = np.meshgrid(z, x, y, indexing="ij")
     return np.stack([Z.ravel(), X.ravel(), Y.ravel()], axis=1)

@@ -396,13 +396,13 @@ def sweep(plan: RegularPlan, S, alpha, I0, z_unused=None, n_sweeps=3):
             if _use_pallas(S.dtype):
                 from .pallas_xy import xy_plane_pallas
                 B, nxp, nyp = I0.shape
+                bb = _pallas_b_block(B, nxp, nyp)
 
                 def xy_body(carry_I, xs_step):
                     a_c, a_p, s_c, s_p, r, fx, fy, _wc = xs_step
                     I_new = xy_plane_pallas(
-                        a_p, a_c, s_p, s_c, carry_I, r, fx, fy,
-                        sxs=plan.sxs, sys=plan.sys,
-                        b_block=_pallas_b_block(B, nxp, nyp))
+                        a_p, a_c, s_p, s_c, carry_I, r,
+                        plan.sxs + fx, plan.sys + fy, b_block=bb)
                     return I_new, I_new
 
                 carry, ys = jax.lax.scan(xy_body, carry, xs)

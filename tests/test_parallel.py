@@ -58,3 +58,41 @@ def test_regular_sharded_matches_unsharded(mesh_shape, axes):
     assert np.allclose(J0, J1, rtol=1e-10)
     assert np.allclose(S0, S1, rtol=1e-10)
     assert np.allclose(P0, P1, rtol=1e-8)
+
+
+def test_voronoi_sharded_matches_unsharded():
+    from voronoirt_tpu.grid import build_sites, initialise_sites
+    from voronoirt_tpu.grid.sampling import sample_sites
+    from voronoirt_tpu.engine import VoronoiEngine
+    from voronoirt_tpu.parallel import shard_voronoi
+    from voronoirt_tpu.physics import lyman_alpha_line
+
+    atmos = synthetic_atmosphere(nz=8, nx=6, ny=6, seed=13)
+    cfg = Config(nlam_bb=5, nlam_bf=3, quadrature="n2")
+    n_sites = 512  # divisible by 8
+    pos = sample_sites(atmos, n_sites, seed=21)
+    bounds = (atmos.z[0], atmos.z[-1], atmos.x[0], atmos.x[-1],
+              atmos.y[0], atmos.y[-1])
+    sites = build_sites(pos, bounds, initialise_sites(pos, atmos))
+    line = lyman_alpha_line(cfg.nlam_bb, cfg.nlam_bf,
+                            jnp.asarray(sites.temperature))
+
+    def one_iter(eng):
+        from voronoirt_tpu.engine.lambda_iter import (
+            _update_S, _rates_and_populations)
+        damping_lam = eng.damping_lam(eng.lte)
+        J = eng.compute_J(eng.B0, eng.lte, damping_lam)
+        S = _update_S(eng.line, eng.eps, J, eng.B0)
+        P = _rates_and_populations(eng.line, J, damping_lam, eng.lte,
+                                   eng.C, eng.T, eng.nH, eng.cfg.compat)
+        return np.asarray(J), np.asarray(S), np.asarray(P)
+
+    J0, S0, P0 = one_iter(VoronoiEngine(sites, line, cfg))
+    eng = VoronoiEngine(sites, line, cfg)
+    mesh = make_mesh((8,), ("y",))
+    from voronoirt_tpu.parallel import shard_voronoi as sv
+    sv(eng, mesh)
+    J1, S1, P1 = one_iter(eng)
+    assert np.allclose(J0, J1, rtol=1e-10)
+    assert np.allclose(S0, S1, rtol=1e-10)
+    assert np.allclose(P0, P1, rtol=1e-8)

@@ -352,13 +352,19 @@ def _pallas_b_block(B, nx, ny, budget_bytes=13 * 2**20):
 
 
 def _use_pallas(dtype):
-    """Marching kernels run the fused Pallas path on TPU float32.
+    """Fused Pallas kernels: opt-in via VRT_PALLAS=1 on TPU float32.
 
-    The platform may register as 'tpu' or (tunnelled) 'axon'; both are
-    TPU backends with Mosaic support.
+    The kernels are bitwise-equal to the XLA paths (tests) and the xy
+    kernel is ~1.7x faster at steady state, but Mosaic compiles run
+    REMOTELY on this platform (PALLAS_AXON_REMOTE_COMPILE), take minutes,
+    are not covered by the jax persistent cache, and have hung outright
+    for some kernel shapes -- so the portable XLA formulation is the
+    default until the compile path is dependable (docs/ROADMAP.md).
     """
+    import os
     return (dtype == jnp.float32
-            and jax.default_backend() in ("tpu", "axon"))
+            and jax.default_backend() in ("tpu", "axon")
+            and os.environ.get("VRT_PALLAS") == "1")
 
 
 @partial(jax.jit, static_argnames=("plan", "n_sweeps"))
@@ -411,11 +417,10 @@ def sweep(plan: RegularPlan, S, alpha, I0, z_unused=None, n_sweeps=3):
                                          xs)
         else:
             centre = "prev" if (seg.case == "xz" and not plan.up) else "cur"
-            # Marching default = unrolled XLA scan.  The VMEM-resident
-            # Pallas march (flag VRT_PALLAS_MARCH=1) matches its runtime
-            # on v5e but is constrained by Mosaic's sublane-divisibility
-            # + grid double-buffering VMEM budget at 256^2 planes; see
-            # docs/ROADMAP.md "Pallas Voronoi layer kernel".
+            # Marching default = unrolled XLA scan; the VMEM-resident
+            # Pallas march additionally needs VRT_PALLAS_MARCH=1 (ties
+            # the XLA runtime on v5e; constrained by Mosaic sublane
+            # divisibility + double-buffer VMEM at 256^2 planes).
             import os
             pallas_path = (_use_pallas(S.dtype)
                            and os.environ.get("VRT_PALLAS_MARCH") == "1")

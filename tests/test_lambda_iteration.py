@@ -107,3 +107,18 @@ class TestVoronoiNLTE:
         bottom = np.asarray(eng.sites.layers_up == 1)
         ratio = res.S[:n_bb][:, bottom] / B0[:n_bb][:, bottom]
         assert np.allclose(ratio, 1.0, atol=0.25)
+
+
+class TestLambdaChunking:
+    def test_chunked_J_matches_unchunked(self, atmos):
+        """lambda_chunk must not change J (pure streaming restructure)."""
+        cfg_a = small_cfg()
+        cfg_b = small_cfg(lambda_chunk=4)   # 11 lambdas -> 4+4+3
+        line = lyman_alpha_line(cfg_a.nlam_bb, cfg_a.nlam_bf,
+                                jnp.asarray(atmos.temperature))
+        ea = RegularEngine(atmos, line, cfg_a)
+        eb = RegularEngine(atmos, line, cfg_b)
+        damping = ea.damping_lam(ea.lte)
+        Ja = np.asarray(ea.compute_J(ea.B0, ea.lte, damping))
+        Jb = np.asarray(eb.compute_J(eb.B0, eb.lte, damping))
+        assert np.allclose(Ja, Jb, rtol=1e-12)

@@ -49,6 +49,9 @@ class Config:
     # --- numerics ---
     dtype: str = "float64"        # physics dtype ('float64' on CPU tests)
     transport_dtype: Optional[str] = None  # sweep dtype; None => same as dtype
+    lambda_chunk: Optional[int] = None  # stream wavelengths in blocks of
+    # this size through profile->alpha->sweep->J (bounds peak memory at
+    # production scale, e.g. 91 lambda x 3.5e6 sites); None = all at once
 
     # --- seeds ---
     seed: int = 2022              # site-sampling seed (compare_line.jl:7)

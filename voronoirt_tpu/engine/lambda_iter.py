@@ -95,13 +95,21 @@ def _damping_lambda(line, temperature, n_neutral, electron_density,
 
 
 @partial(jax.jit, static_argnames=("line",))
-def _alpha_tot(line, damping_lam, v_los, populations, alpha_cont):
-    """alpha_line(profile(angle)) + alpha_cont, per wavelength."""
-    profile = compute_profile(line, jnp.asarray(line.lam), damping_lam,
-                              v_los)
+def _alpha_tot(line, lam, damping_lam, v_los, populations, alpha_cont):
+    """alpha_line(profile(angle)) + alpha_cont for wavelengths `lam`."""
+    profile = compute_profile(line, lam, damping_lam, v_los)
     a_line = alpha_line(line, profile, populations[..., 1],
                         populations[..., 0])
     return a_line + alpha_cont[None]
+
+
+def _lambda_chunks(n_lambda, chunk):
+    """Slices covering the lambda axis in blocks of `chunk` (last block
+    may be smaller -> at most two compiled chunk shapes)."""
+    if not chunk or chunk >= n_lambda:
+        return [slice(0, n_lambda)]
+    return [slice(i, min(i + chunk, n_lambda))
+            for i in range(0, n_lambda, chunk)]
 
 
 @partial(jax.jit, static_argnames=("line",))
@@ -152,27 +160,36 @@ class RegularEngine:
          self.B0) = frozen_setup(line, self.T, self.ne, self.nH, cfg)
 
     def compute_J(self, S, populations, damping_lam):
-        """J accumulation over the quadrature (J_lambda_regular)."""
+        """J accumulation over the quadrature (J_lambda_regular).
+
+        With cfg.lambda_chunk set, wavelengths stream in blocks through
+        profile -> alpha -> sweep -> J, bounding peak memory.
+        """
         line, quad = self.line, self.quad
-        J = jnp.zeros_like(S)
         T_bottom = self.T[0]
         lam = jnp.asarray(line.lam)
-        for i in range(quad.n_angles):
-            k = quad.k[i]
-            plan = self.plans[i]
-            v_los = line_of_sight_velocity(self.v, -k)
-            a_tot = _alpha_tot(line, damping_lam, v_los, populations,
-                               self.a_cont)
-            S_t = jnp.swapaxes(S, 0, 1)       # (nz, nlam, nx, ny)
-            a_t = jnp.swapaxes(a_tot, 0, 1)
-            if plan.up:
-                I0 = B_lambda(lam[:, None, None], T_bottom[None])
-            else:
-                I0 = jnp.zeros_like(S[:, 0])
-            I = sweep_regular(plan, S_t, a_t, I0,
-                              n_sweeps=self.cfg.n_sweeps)
-            J = J + quad.weights[i] * jnp.swapaxes(I, 0, 1)
-        return J
+        chunks = _lambda_chunks(line.n_lambda, self.cfg.lambda_chunk)
+        J_parts = []
+        for sl in chunks:
+            Jc = jnp.zeros_like(S[sl])
+            for i in range(quad.n_angles):
+                k = quad.k[i]
+                plan = self.plans[i]
+                v_los = line_of_sight_velocity(self.v, -k)
+                a_tot = _alpha_tot(line, lam[sl], damping_lam[sl], v_los,
+                                   populations, self.a_cont)
+                S_t = jnp.swapaxes(S[sl], 0, 1)   # (nz, chunk, nx, ny)
+                a_t = jnp.swapaxes(a_tot, 0, 1)
+                if plan.up:
+                    I0 = B_lambda(lam[sl, None, None], T_bottom[None])
+                else:
+                    I0 = jnp.zeros_like(S[sl][:, 0])
+                I = sweep_regular(plan, S_t, a_t, I0,
+                                  n_sweeps=self.cfg.n_sweeps)
+                Jc = Jc + quad.weights[i] * jnp.swapaxes(I, 0, 1)
+            J_parts.append(Jc)
+        return J_parts[0] if len(J_parts) == 1 else jnp.concatenate(
+            J_parts, axis=0)
 
     def damping_lam(self, populations):
         return _damping_lambda(self.line, self.T,
@@ -216,25 +233,32 @@ class VoronoiEngine:
          self.B0) = frozen_setup(line, self.T, self.ne, self.nH, cfg)
 
     def compute_J(self, S, populations, damping_lam):
-        """J accumulation over the quadrature (J_lambda_voronoi)."""
+        """J accumulation over the quadrature (J_lambda_voronoi);
+        lambda-chunked like the regular engine."""
         line, quad = self.line, self.quad
-        J = jnp.zeros_like(S)
         lam = jnp.asarray(line.lam)
-        for i in range(quad.n_angles):
-            k = quad.k[i]
-            plan = self.plans[i]
-            v_los = line_of_sight_velocity(self.v, -k)
-            a_tot = _alpha_tot(line, damping_lam, v_los, populations,
-                               self.a_cont)
-            if plan.up:
-                I0 = B_lambda(lam[:, None], self.T[plan.bc_sites][None])
-            else:
-                I0 = jnp.zeros((len(line.lam), len(plan.bc_sites)),
-                               S.dtype)
-            I = sweep_voronoi(plan, S, a_tot, I0,
-                              n_sweeps=self.cfg.n_sweeps)
-            J = J + quad.weights[i] * I
-        return J
+        chunks = _lambda_chunks(line.n_lambda, self.cfg.lambda_chunk)
+        J_parts = []
+        for sl in chunks:
+            Jc = jnp.zeros_like(S[sl])
+            for i in range(quad.n_angles):
+                k = quad.k[i]
+                plan = self.plans[i]
+                v_los = line_of_sight_velocity(self.v, -k)
+                a_tot = _alpha_tot(line, lam[sl], damping_lam[sl], v_los,
+                                   populations, self.a_cont)
+                if plan.up:
+                    I0 = B_lambda(lam[sl, None],
+                                  self.T[plan.bc_sites][None])
+                else:
+                    I0 = jnp.zeros((lam[sl].shape[0],
+                                    len(plan.bc_sites)), S.dtype)
+                I = sweep_voronoi(plan, S[sl], a_tot, I0,
+                                  n_sweeps=self.cfg.n_sweeps)
+                Jc = Jc + quad.weights[i] * I
+            J_parts.append(Jc)
+        return J_parts[0] if len(J_parts) == 1 else jnp.concatenate(
+            J_parts, axis=0)
 
     def damping_lam(self, populations):
         return _damping_lambda(self.line, self.T,

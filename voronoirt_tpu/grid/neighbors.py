@@ -86,6 +86,14 @@ def voronoi_neighbors(positions_zxy, bounds, max_nb=32, n_threads=0):
         (0-based sites; -5 bottom wall, -6 top wall).
     """
     lib = _load_lib()
+    if lib is None:
+        # Build in-tree on first use: the scipy fallback triangulates
+        # degenerate (grid-aligned) configurations with diagonal edges
+        # and must only be a last resort.
+        try:
+            lib = build_native()
+        except Exception:
+            lib = None
     pos = np.ascontiguousarray(positions_zxy, dtype=np.float64)
     n = len(pos)
     z_min, z_max, x_min, x_max, y_min, y_max = (float(b) for b in bounds)

@@ -84,7 +84,7 @@ def run_regular(n=51, out_dir=None):
     return results
 
 
-def run_irregular(n_side=51, out_dir=None, seed=1998):
+def run_irregular(n_side=51, out_dir=None, seed=1998, order="layer"):
     from voronoirt_tpu.quadrature import get_quadrature
     from voronoirt_tpu.grid import build_sites, build_voronoi_plan
     from voronoirt_tpu.grid.interpolate import voronoi_to_raster_nn
@@ -115,7 +115,7 @@ def run_irregular(n_side=51, out_dir=None, seed=1998):
         th, ph = quad.theta_deg[i], quad.phi_deg[i]
         k = quad.k[i]
         up = bool(quad.is_up[i])
-        plan = build_voronoi_plan(sites, k, up)
+        plan = build_voronoi_plan(sites, k, up, order=order)
         bc = pos[plan.bc_sites]
         I0 = (np.hypot(bc[:, 1] - 0.5, bc[:, 2] - 0.5) < R0).astype(float)
         t0 = time.time()
@@ -144,11 +144,16 @@ if __name__ == "__main__":
     ap.add_argument("--irregular", action="store_true")
     ap.add_argument("--out", default=None)
     ap.add_argument("--n", type=int, default=51)
+    ap.add_argument("--order", default="layer",
+                    choices=("layer", "wavefront"),
+                    help="irregular sweep ordering: 'layer' = reference-"
+                         "parity BFS layers; 'wavefront' = exact "
+                         "topological levels (conserves grazing beams)")
     args = ap.parse_args()
     if args.out:
         os.makedirs(args.out, exist_ok=True)
     if args.irregular:
-        res = run_irregular(args.n, args.out)
+        res = run_irregular(args.n, args.out, order=args.order)
     else:
         res = run_regular(args.n, args.out)
     print(json.dumps(res))

@@ -374,6 +374,75 @@ int vrt_build_neighbors(const double* xs, const double* ys, const double* zs,
   return max_count.load();
 }
 
+// Topological levelling of the per-direction 2-upwind dependency DAG.
+//
+// Every active dependency edge (upwind -> site) strictly increases the
+// projection s = pos . k in UNWRAPPED coordinates, so the graph is a DAG
+// except for chains that wrap the periodic x/y seam.  Kahn-peel exact
+// levels: level 0 = boundary sites (intensity fixed), level(i) =
+// 1 + max(level(deps)).  Sites caught in seam cycles keep level -1 and
+// are ordered separately by the caller (s-binned relaxation).
+//
+//   upwind: n*2 upwind site ids; active: n*2 flags (blend weight > 0);
+//   is_bc: boundary mask; out_levels: -1 = stuck in a seam cycle.
+void vrt_topo_levels(const int32_t* upwind, const uint8_t* active,
+                     const uint8_t* is_bc, int64_t n, int32_t* out_levels) {
+  std::vector<int32_t> pending(n, 0);
+  std::vector<int64_t> rev_cnt(n + 1, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    out_levels[i] = -1;
+    if (is_bc[i]) continue;
+    for (int j = 0; j < 2; ++j) {
+      int32_t d = upwind[i * 2 + j];
+      if (active[i * 2 + j] && d != (int32_t)i && d >= 0 && d < n) {
+        ++pending[i];
+        ++rev_cnt[d + 1];
+      }
+    }
+  }
+  // CSR reverse adjacency: nodes depending on d
+  for (int64_t i = 0; i < n; ++i) rev_cnt[i + 1] += rev_cnt[i];
+  std::vector<int32_t> rev(rev_cnt[n]);
+  {
+    std::vector<int64_t> fill(rev_cnt.begin(), rev_cnt.end() - 1);
+    for (int64_t i = 0; i < n; ++i) {
+      if (is_bc[i]) continue;
+      for (int j = 0; j < 2; ++j) {
+        int32_t d = upwind[i * 2 + j];
+        if (active[i * 2 + j] && d != (int32_t)i && d >= 0 && d < n)
+          rev[fill[d]++] = (int32_t)i;
+      }
+    }
+  }
+  std::vector<int32_t> queue;
+  std::vector<int32_t> maxlev(n, -1);  // max level among resolved deps
+  queue.reserve(n);
+  for (int64_t i = 0; i < n; ++i) {
+    if (is_bc[i]) {
+      out_levels[i] = 0;
+      queue.push_back((int32_t)i);
+    } else if (pending[i] == 0) {
+      out_levels[i] = 1;  // no active upwind: constant (zero-weight) site
+      queue.push_back((int32_t)i);
+    }
+  }
+  for (size_t qi = 0; qi < queue.size(); ++qi) {
+    int32_t i = queue[qi];
+    int32_t li = out_levels[i];
+    for (int64_t e = rev_cnt[i]; e < rev_cnt[i + 1]; ++e) {
+      int32_t j = rev[e];
+      if (out_levels[j] >= 0) continue;  // already resolved
+      if (maxlev[j] < li) maxlev[j] = li;
+      // level = 1 + max over ALL deps (queue order does not follow
+      // levels -- the init segment mixes levels 0 and 1)
+      if (--pending[j] == 0) {
+        out_levels[j] = maxlev[j] + 1;
+        queue.push_back(j);
+      }
+    }
+  }
+}
+
 // BFS wavefront layering (src/voronoi_utils.jl:93-174): layer 1 = sites
 // adjacent to `wall_id` (-5 bottom / -6 top); layer k+1 = sites adjacent
 // to layer k.  counts/neighbors: CSR-ish fixed-stride lists from

@@ -129,6 +129,115 @@ class TestSearchlightIrregular:
         assert abs((cx - xr + 0.5) % 1.0 - 0.5) < 0.08
         assert abs((cy - yr + 0.5) % 1.0 - 0.5) < 0.08
 
+class TestWavefrontOrder:
+    """order='wavefront': exact topological levels over the upwind DAG
+    (one pass per level) + s-binned relaxation for seam-wrapping chains.
+    Fixes the grazing-angle beam loss inherent to the reference's fixed
+    3-sweep BFS-layer scheme (irregular_ray_tracing.jl:37-79)."""
+
+    def _sites(self, n=17 ** 3, seed=1998):
+        rng = np.random.default_rng(seed)
+        pos = rng.uniform(0, 1, (n, 3))
+        return build_sites(pos, (0, 1, 0, 1, 0, 1), _fields(n)), pos
+
+    def test_steep_angle_is_exact_fixed_point(self):
+        """With no seam cycles the wavefront sweep solves the per-site
+        two-point equations exactly in a single pass."""
+        import jax.numpy as jnp
+        from voronoirt_tpu.solvers.formal import linear_weights
+
+        sites, _ = self._sites()
+        n = sites.n
+        rng = np.random.default_rng(7)
+        S = rng.uniform(0.1, 1.0, n)
+        alpha = rng.uniform(0.0, 2.0, n)
+        plan = build_voronoi_plan(sites, kvec(160.0, 45.0), up=True,
+                                  order="wavefront")
+        assert plan.exact_levels is not None and plan.relax_levels is None
+        I0 = rng.uniform(0.0, 1.0, len(plan.bc_sites))
+        I = np.asarray(sweep_voronoi(plan, S, alpha, I0))
+
+        up, w, r = plan.upwind, plan.weights, plan.r
+        dtau = r * (alpha[:, None] + alpha[up]) * 0.5
+        aw, bw, ew = (np.asarray(v) for v in
+                      linear_weights(jnp.asarray(dtau)))
+        rhs = (w * (ew * I[up] + aw * S[up] + bw * S[:, None])).sum(1)
+        mask = np.ones(n, bool)
+        mask[plan.bc_sites] = False
+        assert np.abs(I - rhs)[mask].max() < 1e-10
+
+    def test_grazing_beam_conserved(self):
+        """theta=100.2deg: the layer scheme loses the whole beam; the
+        wavefront scheme reaches the global fixed point."""
+        sites, pos = self._sites()
+        n = sites.n
+        k = kvec(100.2, 15.0)
+        plan_l = build_voronoi_plan(sites, k, up=True)
+        plan_w = build_voronoi_plan(sites, k, up=True, order="wavefront")
+        S = np.zeros(n)
+        alpha = np.zeros(n)
+        bc_pos = pos[plan_l.bc_sites]
+        I0 = (np.hypot(bc_pos[:, 1] - 0.5, bc_pos[:, 2] - 0.5)
+              < 0.25).astype(float)
+        out = sites.layers_down == 1
+        I_l = np.asarray(sweep_voronoi(plan_l, S, alpha, I0))
+        I_w = np.asarray(sweep_voronoi(plan_w, S, alpha, I0))
+        assert I_l[out].mean() < 0.02 * I0.mean()      # the failure mode
+        assert I_w[out].mean() == pytest.approx(I0.mean(), rel=0.35)
+
+        # ... and the wavefront result is the true fixed point: global
+        # Jacobi iteration to convergence gives the same answer
+        import jax.numpy as jnp
+        from voronoirt_tpu.solvers.formal import linear_weights
+        up, w, r = plan_w.upwind, plan_w.weights, plan_w.r
+        dtau = r * (alpha[:, None] + alpha[up]) * 0.5
+        aw, bw, ew = (np.asarray(v) for v in
+                      linear_weights(jnp.asarray(dtau)))
+        I = np.zeros(n)
+        I[plan_w.bc_sites] = I0
+        mask = np.ones(n, bool)
+        mask[plan_w.bc_sites] = False
+        for _ in range(2000):
+            rhs = (w * (ew * I[up] + aw * S[up] + bw * S[:, None])).sum(1)
+            I[mask] = rhs[mask]
+        assert I_w[out].mean() == pytest.approx(I[out].mean(), rel=0.02)
+
+    def test_regular_identity_matches_layer_mode(self):
+        """Grid-aligned sites, vertical ray: both orderings reduce to the
+        exact vertical chain."""
+        m = 6
+        pos, _ = _grid_sites(m)
+        n = len(pos)
+        sites = build_sites(pos, (0, 1, 0, 1, 0, 1), _fields(n))
+        rng = np.random.default_rng(0)
+        S = rng.uniform(0.5, 1.5, n)
+        alpha = np.full(n, 1.7)
+        k = kvec(180.0, 0.0)
+        pl = build_voronoi_plan(sites, k, up=True)
+        pw = build_voronoi_plan(sites, k, up=True, order="wavefront")
+        I0 = rng.uniform(0.2, 0.9, len(pl.bc_sites))
+        I_l = np.asarray(sweep_voronoi(pl, S, alpha, I0))
+        I_w = np.asarray(sweep_voronoi(pw, S, alpha, I0))
+        assert np.allclose(I_l, I_w, rtol=1e-12)
+
+    def test_batched_matches_single_wavefront(self):
+        rng = np.random.default_rng(5)
+        n = 500
+        pos = rng.uniform(0, 1, (n, 3))
+        sites = build_sites(pos, (0, 1, 0, 1, 0, 1), _fields(n))
+        plan = build_voronoi_plan(sites, kvec(115.0, 200.0), up=True,
+                                  order="wavefront")
+        B = 3
+        S = rng.uniform(0.1, 1.0, (B, n))
+        alpha = rng.uniform(0.0, 3.0, (B, n))
+        I0 = rng.uniform(0.0, 1.0, (B, len(plan.bc_sites)))
+        I = np.asarray(sweep_voronoi(plan, S, alpha, I0))
+        for b in range(B):
+            Ib = np.asarray(sweep_voronoi(plan, S[b], alpha[b], I0[b]))
+            assert np.allclose(I[b], Ib, rtol=1e-12)
+
+
+class TestSearchlightBatched:
     def test_batched_matches_single(self):
         rng = np.random.default_rng(5)
         n = 500

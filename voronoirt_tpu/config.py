@@ -38,6 +38,11 @@ class Config:
     # --- irregular grid ---
     upwind_exponent: float = 7.0  # blend-weight exponent p
     max_neighbours: int = 70      # neighbour-list cap (reference max_guess)
+    voronoi_order: str = "layer"  # sweep ordering: 'layer' = reference's
+    # BFS layers + n_sweeps Jacobi passes; 'wavefront' = exact
+    # topological levels over the upwind DAG (single pass, conserves
+    # grazing-angle beams the fixed pass count truncates) with s-binned
+    # relaxation only for seam-wrapping chains
 
     # --- physics compat switches (SURVEY.md §7 "fidelity traps") ---
     # 'reference' reproduces the reference's published behaviour exactly,

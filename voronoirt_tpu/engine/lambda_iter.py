@@ -224,7 +224,8 @@ class VoronoiEngine:
             k = self.quad.k[i]
             up = bool(self.quad.is_up[i])
             self.plans.append(build_voronoi_plan(
-                sites, k, up, p=cfg.upwind_exponent, compat=cfg.compat))
+                sites, k, up, p=cfg.upwind_exponent, compat=cfg.compat,
+                order=cfg.voronoi_order, n_sweeps=cfg.n_sweeps))
         self.T = jnp.asarray(sites.temperature)
         self.ne = jnp.asarray(sites.electron_density)
         self.nH = jnp.asarray(sites.hydrogen_populations)

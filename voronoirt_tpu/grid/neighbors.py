@@ -137,6 +137,61 @@ def bfs_layers(neighbours, wall_id):
     return out
 
 
+def topo_levels(upwind, active, is_bc):
+    """Kahn levels of the per-direction 2-upwind dependency DAG.
+
+    Every active edge (upwind -> site) strictly increases s = pos . k in
+    unwrapped coordinates, so the graph is a DAG except for chains that
+    wrap the periodic x/y seam.  Returns per-site levels: 0 = boundary,
+    >= 1 = exact topological level (all deps in strictly earlier
+    levels), -1 = caught in a seam cycle.
+    """
+    lib = _load_lib()
+    if lib is None:
+        try:
+            lib = build_native()
+        except Exception:
+            lib = None
+    n = len(is_bc)
+    up = np.ascontiguousarray(upwind, dtype=np.int32)
+    act = np.ascontiguousarray(active, dtype=np.uint8)
+    bc = np.ascontiguousarray(is_bc, dtype=np.uint8)
+    out = np.empty(n, dtype=np.int32)
+    if lib is not None:
+        if not hasattr(lib.vrt_topo_levels, "_configured"):
+            lib.vrt_topo_levels.restype = None
+            lib.vrt_topo_levels.argtypes = [
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32)]
+            lib.vrt_topo_levels._configured = True
+        lib.vrt_topo_levels(
+            _ci(up), act.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            bc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, _ci(out))
+        return out
+    return _py_topo_levels(up, act, bc)
+
+
+def _py_topo_levels(upwind, active, is_bc):
+    """Pure-numpy fallback (round-per-level; fine for test sizes)."""
+    n = len(is_bc)
+    lev = np.full(n, -1, dtype=np.int32)
+    dep = active.astype(bool) & (upwind != np.arange(n)[:, None])
+    dep &= ~is_bc.astype(bool)[:, None]
+    lev[is_bc.astype(bool)] = 0
+    unres = lev < 0
+    while unres.any():
+        lu = lev[upwind]
+        ok = np.where(dep, lu >= 0, True).all(axis=1) & unres
+        if not ok.any():
+            break
+        cand = np.where(dep, lu, -1).max(axis=1) + 1
+        lev[ok] = np.maximum(cand[ok], 1)
+        unres &= ~ok
+    return lev
+
+
 def _py_bfs_layers(counts, nbrs, wall_id):
     n = len(counts)
     layers = np.zeros(n, dtype=np.int32)

@@ -15,7 +15,8 @@ import dataclasses
 
 import numpy as np
 
-from .neighbors import voronoi_neighbors, bfs_layers, BOTTOM_WALL, TOP_WALL
+from .neighbors import (voronoi_neighbors, bfs_layers, topo_levels,
+                        BOTTOM_WALL, TOP_WALL)
 
 
 @dataclasses.dataclass
@@ -113,6 +114,10 @@ class VoronoiPlan:
       UNwrapped euclidean distance (irregular_ray_tracing.jl:66) -- that
       quirk is reproduced when compat='reference', min-image otherwise.
     bc_sites: (n_bc,) site ids of the boundary layer.
+
+    order='wavefront' additionally fills exact_levels / relax_levels
+    (see build_voronoi_plan); layer_sites then holds the concatenated
+    schedule only for shape compatibility.
     """
     k: tuple
     up: bool
@@ -122,16 +127,36 @@ class VoronoiPlan:
     r: np.ndarray
     bc_sites: np.ndarray
     n: int
+    exact_levels: np.ndarray | None = None   # (Lx, Wx): 1 pass each
+    relax_levels: np.ndarray | None = None   # (Lr, Wr): n_sweeps each
+    relax_repeats: int = 1       # global repeats of the relax schedule
+    # (seam-wrapping chains re-enter earlier bins; one repeat per wrap)
 
 
 def build_voronoi_plan(sites: VoronoiSites, k, up, p=7.0,
-                       compat="reference"):
+                       compat="reference", order="layer", n_sweeps=3):
     """Compile the static upwind/ordering plan for direction k.
 
     Upwind selection: for every site, the two neighbours whose Delaunay
     lines have the largest positive dot product with k; if the second
     best is <= 0 it is replaced by the first with zero weight
     (voronoi_utils.jl:390-393).
+
+    order:
+      'layer' (reference parity): BFS wall-distance layers, n_sweeps
+        Jacobi passes per layer (irregular_ray_tracing.jl:37-79).
+      'wavefront': order sites by the 2-upwind dependency DAG itself.
+        Every active edge strictly increases s = pos . k (unwrapped), so
+        Kahn levelling yields exact levels -- one pass per level, every
+        upwind already computed -- except for chains wrapping the
+        periodic x/y seam, which are s-sorted into equal-count bins
+        relaxed with n_sweeps passes.  Exact where the reference's fixed
+        3 sweeps truncate (grazing angles lose most of the beam,
+        tests/test_sweep_voronoi.py), and usually cheaper: one pass per
+        level instead of n_sweeps per layer.  If the exact levels are
+        too ragged (padded cost > n_sweeps x resolved sites), resolved
+        sites are binned in level order instead (cost capped at the
+        'layer' mode's).
     """
     k = np.asarray(k, dtype=np.float64)
     n = sites.n
@@ -144,9 +169,9 @@ def build_voronoi_plan(sites: VoronoiSites, k, up, p=7.0,
     dots = np.where(valid, dots, -np.inf)
 
     # top-2 neighbours by dot product
-    order = np.argsort(-dots, axis=1)
-    i1 = order[:, 0]
-    i2 = order[:, 1] if W > 1 else order[:, 0]
+    nb_order = np.argsort(-dots, axis=1)
+    i1 = nb_order[:, 0]
+    i2 = nb_order[:, 1] if W > 1 else nb_order[:, 0]
     ar = np.arange(n)
     d1 = dots[ar, i1]
     d2 = dots[ar, i2]
@@ -186,6 +211,82 @@ def build_voronoi_plan(sites: VoronoiSites, k, up, p=7.0,
         layer_sites[l - 2, :len(ids)] = ids
     bc_sites = np.nonzero(layers == 1)[0].astype(np.int32)
 
+    if order != "wavefront":
+        return VoronoiPlan(k=tuple(k), up=up, layer_sites=layer_sites,
+                           upwind=upwind, weights=weights, r=r,
+                           bc_sites=bc_sites, n=n)
+
+    is_bc = np.zeros(n, dtype=bool)
+    is_bc[bc_sites] = True
+    active = weights > 0.0
+    lev = topo_levels(upwind, active, is_bc)
+
+    # mean upwind-edge advance along k sets the relax-bin resolution;
+    # always the min-image distance (the compat='reference' unwrapped r
+    # is metres across the seam and would inflate the bin width)
+    s = pos @ k
+    z_min, z_max, x_min, x_max, y_min, y_max = sites.bounds
+    Lx_box, Ly_box = x_max - x_min, y_max - y_min
+    d_mi = pos[upwind] - pos[:, None, :]
+    d_mi[..., 1] -= Lx_box * np.round(d_mi[..., 1] / Lx_box)
+    d_mi[..., 2] -= Ly_box * np.round(d_mi[..., 2] / Ly_box)
+    r_mi = np.linalg.norm(d_mi, axis=-1)
+    ds_edge = (r_mi * np.stack([np.maximum(d1, 0.0),
+                                np.maximum(d2, 0.0)], axis=1))[active]
+    mean_ds = float(ds_edge.mean()) if ds_edge.size else 1.0
+
+    resolved = lev >= 1
+    n_res = int(resolved.sum())
+    exact_levels = None
+    use_exact = False
+    if n_res:
+        Lx = int(lev[resolved].max())
+        wx = np.bincount(lev[resolved], minlength=Lx + 1)
+        Wx = int(wx[1:].max())
+        use_exact = Lx * Wx <= n_sweeps * n_res
+        if use_exact:
+            exact_levels = np.full((Lx, Wx), n, dtype=np.int32)
+            for l in range(1, Lx + 1):
+                ids = np.nonzero(lev == l)[0]
+                exact_levels[l - 1, :len(ids)] = ids
+
+    # everything not exactly ordered: one s-sorted bin schedule
+    # (most-upwind first -- upwind sites always have larger s because
+    # the selection is dot(k, line) > 0)
+    rest = np.nonzero(~is_bc & (~resolved if use_exact
+                                else np.ones(n, dtype=bool)))[0]
+    relax_levels = None
+    relax_repeats = 1
+    if rest.size:
+        # bin width ~ half the mean edge advance: intra-bin chains are
+        # then depth <= ~1, so one Jacobi pass per bin suffices and all
+        # sequencing comes from the bin order + global repeats
+        ids = rest[np.argsort(-s[rest], kind="stable")]
+        span = abs(s[rest].max() - s[rest].min()) if rest.size > 1 else 0.0
+        n_bins = max(1, min(int(np.ceil(span / (0.5 * mean_ds))),
+                            len(ids)))
+        W = -(-len(ids) // n_bins)
+        relax_levels = np.full((n_bins, W), n, dtype=np.int32)
+        for b in range(n_bins):
+            chunk = ids[b * W:(b + 1) * W]
+            relax_levels[b, :len(chunk)] = chunk
+        # seam wraps: a chain crossing the periodic seam re-enters at
+        # high s (an earlier, already-processed bin), costing one global
+        # repeat of the schedule -- empirically ~3 repeats per wrap
+        # converge the beam-conservation fixtures to the global fixed
+        # point (tests/test_sweep_voronoi.py)
+        zr = pos[rest, 0]
+        span_z = float(zr.max() - zr.min()) if rest.size > 1 else 0.0
+        if abs(k[0]) > 1e-12:
+            travel = span_z / abs(k[0])
+            wraps = travel * abs(k[1]) / Lx_box + travel * abs(k[2]) / Ly_box
+        else:
+            wraps = 10.0
+        relax_repeats = int(min(2 + np.ceil(3.0 * wraps), 32))
+
     return VoronoiPlan(k=tuple(k), up=up, layer_sites=layer_sites,
                        upwind=upwind, weights=weights, r=r,
-                       bc_sites=bc_sites, n=n)
+                       bc_sites=bc_sites, n=n,
+                       exact_levels=exact_levels,
+                       relax_levels=relax_levels,
+                       relax_repeats=relax_repeats)

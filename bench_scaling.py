@@ -15,7 +15,7 @@ import time
 
 
 def run(mesh_sizes=(1, 2, 4, 8), platform="cpu", nz=16, nx=16, ny=32,
-        nlam_bb=5, nlam_bf=3):
+        nlam_bb=5, nlam_bf=3, mode="mesh"):
     from voronoirt_tpu.platform import setup
     setup(platform=platform, x64=True, n_cpu_devices=max(mesh_sizes))
 
@@ -35,10 +35,13 @@ def run(mesh_sizes=(1, 2, 4, 8), platform="cpu", nz=16, nx=16, ny=32,
     results = []
     for n_dev in mesh_sizes:
         eng = RegularEngine(atmos, line, cfg)
-        if n_dev > 1:
+        if n_dev > 1 and mode == "mesh":
             mesh = make_mesh((n_dev,), ("y",),
                              devices=jax.devices()[:n_dev])
             shard_regular(eng, mesh)
+        elif n_dev > 1:   # mode == "angles": quadrature MPMD
+            from voronoirt_tpu.parallel import distribute_angles
+            distribute_angles(eng, jax.devices()[:n_dev])
 
         def one_pass():
             damping_lam = eng.damping_lam(eng.lte)
@@ -64,5 +67,10 @@ def run(mesh_sizes=(1, 2, 4, 8), platform="cpu", nz=16, nx=16, ny=32,
 
 if __name__ == "__main__":
     import sys
-    sizes = tuple(int(s) for s in sys.argv[1:]) or (1, 2, 4, 8)
-    run(mesh_sizes=sizes)
+    args = sys.argv[1:]
+    mode = "mesh"
+    if "--angles" in args:
+        mode = "angles"
+        args.remove("--angles")
+    sizes = tuple(int(s) for s in args) or (1, 2, 4, 8)
+    run(mesh_sizes=sizes, mode=mode)

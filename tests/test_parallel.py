@@ -96,3 +96,55 @@ def test_voronoi_sharded_matches_unsharded():
     assert np.allclose(J0, J1, rtol=1e-10)
     assert np.allclose(S0, S1, rtol=1e-10)
     assert np.allclose(P0, P1, rtol=1e-8)
+
+
+def test_regular_angle_distribution_matches_serial():
+    """Angle MPMD (parallel/angles.py): round-robin the quadrature over
+    4 devices, J must equal the serial loop up to reduction order."""
+    from voronoirt_tpu.parallel import distribute_angles
+
+    atmos = synthetic_atmosphere(nz=8, nx=8, ny=8, seed=3)
+    cfg = Config(nlam_bb=5, nlam_bf=3, quadrature="ul2n3")
+    line = lyman_alpha_line(cfg.nlam_bb, cfg.nlam_bf,
+                            jnp.asarray(atmos.temperature))
+    J0, S0, P0 = _run_one_iteration(RegularEngine(atmos, line, cfg))
+
+    eng = RegularEngine(atmos, line, cfg)
+    distribute_angles(eng, jax.devices()[:4])
+    J1, S1, P1 = _run_one_iteration(eng)
+    assert np.allclose(J0, J1, rtol=1e-12)
+    assert np.allclose(S0, S1, rtol=1e-12)
+    assert np.allclose(P0, P1, rtol=1e-10)
+
+
+def test_voronoi_angle_distribution_matches_serial():
+    from voronoirt_tpu.grid import build_sites, initialise_sites
+    from voronoirt_tpu.grid.sampling import sample_sites
+    from voronoirt_tpu.engine import VoronoiEngine
+    from voronoirt_tpu.parallel import distribute_angles
+    from voronoirt_tpu.engine.lambda_iter import (_update_S,
+                                                  _rates_and_populations)
+
+    atmos = synthetic_atmosphere(nz=8, nx=6, ny=6, seed=13)
+    cfg = Config(nlam_bb=5, nlam_bf=3, quadrature="n2",
+                 lambda_chunk=4)   # chunked + distributed compose
+    n_sites = 500
+    pos = sample_sites(atmos, n_sites, seed=21)
+    bounds = (atmos.z[0], atmos.z[-1], atmos.x[0], atmos.x[-1],
+              atmos.y[0], atmos.y[-1])
+    sites = build_sites(pos, bounds, initialise_sites(pos, atmos))
+    line = lyman_alpha_line(cfg.nlam_bb, cfg.nlam_bf,
+                            jnp.asarray(sites.temperature))
+
+    def one_iter(eng):
+        damping_lam = eng.damping_lam(eng.lte)
+        J = eng.compute_J(eng.B0, eng.lte, damping_lam)
+        S = _update_S(eng.line, eng.eps, J, eng.B0)
+        return np.asarray(J), np.asarray(S)
+
+    J0, S0 = one_iter(VoronoiEngine(sites, line, cfg))
+    eng = VoronoiEngine(sites, line, cfg)
+    distribute_angles(eng, jax.devices()[:3])
+    J1, S1 = one_iter(eng)
+    assert np.allclose(J0, J1, rtol=1e-12)
+    assert np.allclose(S0, S1, rtol=1e-12)

@@ -163,30 +163,58 @@ class RegularEngine:
         """J accumulation over the quadrature (J_lambda_regular).
 
         With cfg.lambda_chunk set, wavelengths stream in blocks through
-        profile -> alpha -> sweep -> J, bounding peak memory.
+        profile -> alpha -> sweep -> J, bounding peak memory.  With
+        parallel.distribute_angles applied, each device owns a subset of
+        the quadrature directions (parallel/angles.py).
         """
+        from ..parallel import angles as _ang
         line, quad = self.line, self.quad
-        T_bottom = self.T[0]
+        devs = getattr(self, "angle_devices", None)
         lam = jnp.asarray(line.lam)
         chunks = _lambda_chunks(line.n_lambda, self.cfg.lambda_chunk)
         J_parts = []
         for sl in chunks:
-            Jc = jnp.zeros_like(S[sl])
+            if devs:
+                state = _ang.broadcast_state(
+                    devs, S=S[sl], damping=damping_lam[sl],
+                    populations=populations, lam=lam[sl])
+                partials = {}
+            else:
+                Jc = jnp.zeros_like(S[sl])
             for i in range(quad.n_angles):
                 k = quad.k[i]
                 plan = self.plans[i]
-                v_los = line_of_sight_velocity(self.v, -k)
-                a_tot = _alpha_tot(line, lam[sl], damping_lam[sl], v_los,
-                                   populations, self.a_cont)
-                S_t = jnp.swapaxes(S[sl], 0, 1)   # (nz, chunk, nx, ny)
+                if devs:
+                    d = _ang.angle_device(self, i)
+                    st, dst = state[d], self._angle_static[d]
+                    v, a_cont, T_bot = (dst["v"], dst["a_cont"],
+                                        dst["T_bottom"])
+                    S_c, damp_c, pops_c, lam_c = (st["S"], st["damping"],
+                                                  st["populations"],
+                                                  st["lam"])
+                else:
+                    v, a_cont, T_bot = self.v, self.a_cont, self.T[0]
+                    S_c, damp_c, pops_c, lam_c = (S[sl], damping_lam[sl],
+                                                  populations, lam[sl])
+                v_los = line_of_sight_velocity(v, -k)
+                a_tot = _alpha_tot(line, lam_c, damp_c, v_los,
+                                   pops_c, a_cont)
+                S_t = jnp.swapaxes(S_c, 0, 1)     # (nz, chunk, nx, ny)
                 a_t = jnp.swapaxes(a_tot, 0, 1)
                 if plan.up:
-                    I0 = B_lambda(lam[sl, None, None], T_bottom[None])
+                    I0 = B_lambda(lam_c[:, None, None], T_bot[None])
                 else:
-                    I0 = jnp.zeros_like(S[sl][:, 0])
+                    I0 = jnp.zeros_like(S_c[:, 0])
                 I = sweep_regular(plan, S_t, a_t, I0,
                                   n_sweeps=self.cfg.n_sweeps)
-                Jc = Jc + quad.weights[i] * jnp.swapaxes(I, 0, 1)
+                Iw = quad.weights[i] * jnp.swapaxes(I, 0, 1)
+                if devs:
+                    _ang.partial_accumulate(partials, d, Iw)
+                else:
+                    Jc = Jc + Iw
+            if devs:
+                Jc = _ang.reduce_partials(partials,
+                                          _ang.target_device(S))
             J_parts.append(Jc)
         return J_parts[0] if len(J_parts) == 1 else jnp.concatenate(
             J_parts, axis=0)
@@ -235,28 +263,54 @@ class VoronoiEngine:
 
     def compute_J(self, S, populations, damping_lam):
         """J accumulation over the quadrature (J_lambda_voronoi);
-        lambda-chunked like the regular engine."""
+        lambda-chunked like the regular engine, angle-distributable like
+        it too (parallel/angles.py)."""
+        from ..parallel import angles as _ang
         line, quad = self.line, self.quad
+        devs = getattr(self, "angle_devices", None)
         lam = jnp.asarray(line.lam)
         chunks = _lambda_chunks(line.n_lambda, self.cfg.lambda_chunk)
         J_parts = []
         for sl in chunks:
-            Jc = jnp.zeros_like(S[sl])
+            if devs:
+                state = _ang.broadcast_state(
+                    devs, S=S[sl], damping=damping_lam[sl],
+                    populations=populations, lam=lam[sl])
+                partials = {}
+            else:
+                Jc = jnp.zeros_like(S[sl])
             for i in range(quad.n_angles):
                 k = quad.k[i]
                 plan = self.plans[i]
-                v_los = line_of_sight_velocity(self.v, -k)
-                a_tot = _alpha_tot(line, lam[sl], damping_lam[sl], v_los,
-                                   populations, self.a_cont)
-                if plan.up:
-                    I0 = B_lambda(lam[sl, None],
-                                  self.T[plan.bc_sites][None])
+                if devs:
+                    d = _ang.angle_device(self, i)
+                    st, dst = state[d], self._angle_static[d]
+                    v, a_cont, T_d = dst["v"], dst["a_cont"], dst["T"]
+                    S_c, damp_c, pops_c, lam_c = (st["S"], st["damping"],
+                                                  st["populations"],
+                                                  st["lam"])
                 else:
-                    I0 = jnp.zeros((lam[sl].shape[0],
+                    v, a_cont, T_d = self.v, self.a_cont, self.T
+                    S_c, damp_c, pops_c, lam_c = (S[sl], damping_lam[sl],
+                                                  populations, lam[sl])
+                v_los = line_of_sight_velocity(v, -k)
+                a_tot = _alpha_tot(line, lam_c, damp_c, v_los,
+                                   pops_c, a_cont)
+                if plan.up:
+                    I0 = B_lambda(lam_c[:, None], T_d[plan.bc_sites][None])
+                else:
+                    I0 = jnp.zeros((lam_c.shape[0],
                                     len(plan.bc_sites)), S.dtype)
-                I = sweep_voronoi(plan, S[sl], a_tot, I0,
+                I = sweep_voronoi(plan, S_c, a_tot, I0,
                                   n_sweeps=self.cfg.n_sweeps)
-                Jc = Jc + quad.weights[i] * I
+                Iw = quad.weights[i] * I
+                if devs:
+                    _ang.partial_accumulate(partials, d, Iw)
+                else:
+                    Jc = Jc + Iw
+            if devs:
+                Jc = _ang.reduce_partials(partials,
+                                          _ang.target_device(S))
             J_parts.append(Jc)
         return J_parts[0] if len(J_parts) == 1 else jnp.concatenate(
             J_parts, axis=0)

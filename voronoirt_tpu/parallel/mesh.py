@@ -18,9 +18,9 @@ inventory).  The TPU-native equivalents here:
   * the BFS-layered Voronoi sweep shards its site axis the same way
     (gathers become all-gathers only for cross-shard upwind edges).
 
-The angle loop remains serial per device (12 statically planned sweeps);
-angle sharding is expressible as a "lam"-style batch by stacking
-same-case angles and is left for a later round (see docs/ROADMAP.md).
+The angle axis is distributed separately (parallel/angles.py): each
+direction compiles its own static sweep schedule, so angle parallelism
+is MPMD round-robin over devices rather than a shard_map axis.
 
 Usage: build a mesh, then `shard_regular(engine, mesh)` re-places the
 engine's arrays with NamedShardings; every jitted step inherits the

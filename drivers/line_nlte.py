@@ -42,6 +42,13 @@ def main():
     ap.add_argument("--nlam-bf", type=int, default=20)
     ap.add_argument("--quadrature", default="ul7n12")
     ap.add_argument("--seed", type=int, default=2022)
+    ap.add_argument("--interpolation", default="linear",
+                    choices=("linear", "bezier"),
+                    help="formal-solution source interpolation; 'bezier'"
+                         " = quadratic DELO-Bezier in the regular xy"
+                         " sweep segments")
+    ap.add_argument("--voronoi-order", default="layer",
+                    choices=("layer", "wavefront"))
     args = ap.parse_args()
 
     import jax
@@ -55,7 +62,9 @@ def main():
 
     cfg = Config(eps=args.eps, maxiter=args.maxiter, nlam_bb=args.nlam_bb,
                  nlam_bf=args.nlam_bf, quadrature=args.quadrature,
-                 seed=args.seed)
+                 seed=args.seed,
+                 formal_interpolation=args.interpolation,
+                 voronoi_order=args.voronoi_order)
 
     if args.data:
         atmos = get_atmos(args.data, periodic=False, skip=args.skip)

@@ -3,6 +3,7 @@ acceptance (searchlight beam test, SURVEY.md §4.3)."""
 
 import os
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -155,3 +156,86 @@ class TestAnalytic:
                 k, S[:, b], alpha[:, b], I0[b], z, 1.0 / N, 1.0 / N,
                 up=True))
             assert np.allclose(I[:, b], Ib, rtol=1e-12)
+
+
+class TestBezierInterpolation:
+    """Quadratic DELO-Bezier formal solution (formal.bezier_weights,
+    sweep(..., interpolation='bezier')) -- the higher-order upgrade of
+    BASELINE.json's north star; not present in the reference."""
+
+    def test_weight_identities(self):
+        from voronoirt_tpu.solvers.formal import bezier_weights
+        dt = jnp.asarray(np.concatenate([np.logspace(-8, -1.4, 30),
+                                         np.linspace(0.051, 49, 40),
+                                         [55.0, 200.0]]))
+        wu, wc, wk, E = (np.asarray(v) for v in bezier_weights(dt))
+        dtn = np.asarray(dt)
+        Eex = np.exp(-dtn)
+        assert np.allclose(wu + wc + wk, 1.0 - Eex, atol=2e-9)
+        # exact for S quadratic in tau with the exact control point
+        sel = dtn > 0.05        # avoid cancellation in the test's own J2
+        J0 = 1 - Eex
+        J1 = dtn - J0
+        J2 = dtn ** 2 - 2 * J1
+        a, b, c = 0.7, -0.3, 1.1
+        exact = (a * J0 + b * J1 + c * J2)[sel]
+        got = (wu * a + wc * (a + b * dtn + c * dtn ** 2)
+               + wk * (a + 0.5 * dtn * b))[sel]
+        assert np.allclose(got, exact, rtol=1e-12)
+
+    def test_control_point_monotone_and_quadratic_exact(self):
+        from voronoirt_tpu.solvers.formal import bezier_control
+        # monotone quadratic S(t) = 1 + 2 t + 0.5 t^2, nodes at -h1, 0, h2
+        h1, h2 = 0.4, 0.3
+        Sf = lambda t: 1.0 + 2.0 * t + 0.5 * t * t
+        C = float(bezier_control(jnp.asarray(Sf(-h1)), jnp.asarray(Sf(0.0)),
+                                 jnp.asarray(Sf(h2)), jnp.asarray(h1),
+                                 jnp.asarray(h2)))
+        assert C == pytest.approx(Sf(0.0) + 0.5 * h2 * 2.0, rel=1e-12)
+        # extremum -> flat control point, C within [S_up, S_c]
+        C2 = float(bezier_control(jnp.asarray(3.0), jnp.asarray(2.0),
+                                  jnp.asarray(5.0), jnp.asarray(0.5),
+                                  jnp.asarray(0.8)))
+        assert C2 == pytest.approx(2.0)
+
+    def test_column_accuracy_beats_linear(self):
+        from voronoirt_tpu.solvers.sweep_regular import short_characteristics
+        nz = 33
+        z = np.linspace(0.0, 1.0, nz)
+        a0 = 3.0
+        Sf = lambda zz: 1.0 + np.sin(3 * zz)
+        S = np.tile(Sf(z)[:, None, None], (1, 4, 4))
+        alpha = np.full((nz, 4, 4), a0)
+        I0 = np.zeros((4, 4))
+        # exact: I(z) = int_0^z S a0 e^{-a0 (z - t)} dt (closed form)
+        t = z
+        Iex = ((1 - np.exp(-a0 * t))
+               + a0 * (a0 * np.sin(3 * t) - 3 * np.cos(3 * t)
+                       + 3 * np.exp(-a0 * t)) / (a0 * a0 + 9.0))
+        k = np.array([-1.0, 0.0, 0.0])
+        errs = {}
+        for interp in ("linear", "bezier"):
+            I = np.asarray(short_characteristics(
+                k, jnp.asarray(S), jnp.asarray(alpha), jnp.asarray(I0),
+                z, 1.0, 1.0, up=True, interpolation=interp))
+            errs[interp] = np.abs(I[:, 0, 0] - Iex).max()
+        assert errs["bezier"] < errs["linear"] / 3.0
+
+    def test_oblique_bracket_and_finite(self):
+        from voronoirt_tpu.solvers.sweep_regular import short_characteristics
+        rng = np.random.default_rng(0)
+        nz = 12
+        z = np.linspace(0, 1, nz)
+        S = rng.uniform(0.2, 1.0, (nz, 3, 8, 8))
+        alpha = rng.uniform(0, 5, (nz, 3, 8, 8))
+        I0 = rng.uniform(0, 1, (3, 8, 8))
+        th = np.deg2rad(160.0)
+        k = np.array([np.cos(th), np.cos(0.8) * np.sin(th),
+                      np.sin(0.8) * np.sin(th)])
+        I = np.asarray(short_characteristics(
+            k, jnp.asarray(S), jnp.asarray(alpha), jnp.asarray(I0),
+            z, 0.1, 0.1, up=True, interpolation="bezier"))
+        assert np.isfinite(I).all()
+        lo = min(S.min(), I0.min())
+        hi = max(S.max(), I0.max())
+        assert I.min() >= lo - 1e-12 and I.max() <= hi + 1e-12

@@ -52,6 +52,10 @@ class Config:
     gamma_natural: float = 4.702e8  # hard-coded natural broadening [s^-1]
 
     # --- numerics ---
+    formal_interpolation: str = "linear"  # 'linear' (reference parity)
+    # or 'bezier': quadratic DELO-Bezier source integration in the
+    # regular grid's xy sweep segments (dCRP13); marching segments and
+    # the Voronoi sweep stay linear
     dtype: str = "float64"        # physics dtype ('float64' on CPU tests)
     transport_dtype: Optional[str] = None  # sweep dtype; None => same as dtype
     lambda_chunk: Optional[int] = None  # stream wavelengths in blocks of

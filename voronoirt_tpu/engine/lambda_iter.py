@@ -206,7 +206,8 @@ class RegularEngine:
                 else:
                     I0 = jnp.zeros_like(S_c[:, 0])
                 I = sweep_regular(plan, S_t, a_t, I0,
-                                  n_sweeps=self.cfg.n_sweeps)
+                                  n_sweeps=self.cfg.n_sweeps,
+                                  interpolation=self.cfg.formal_interpolation)
                 Iw = quad.weights[i] * jnp.swapaxes(I, 0, 1)
                 if devs:
                     _ang.partial_accumulate(partials, d, Iw)

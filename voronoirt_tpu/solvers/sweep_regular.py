@@ -46,7 +46,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .formal import linear_weights
+from .formal import linear_weights, bezier_weights, bezier_control
 
 
 # --------------------------------------------------------------- planning
@@ -215,6 +215,30 @@ def _xy_step(plan, carry_I, inputs):
     return I_new, I_new
 
 
+def _xy_step_bezier(plan, carry_I, inputs):
+    """xy plane update with quadratic-Bezier source integration.
+
+    The control point needs the source/extinction one more interval
+    upstream along the ray: the second-upwind point on plane z-2 is
+    sampled by composing the previous step's stencil with this step's
+    (bilinear-of-bilinear -- exact ray geometry, smoothed interpolation).
+    """
+    (alpha_c, alpha_p, S_c, S_p, alpha_pp, S_pp, r, fx, fy,
+     r_prev, fx_prev, fy_prev, first) = inputs
+    st = lambda A, f, g: _stencil_xy(A, plan.sxs, plan.sys, f, g)
+    a_up = st(alpha_p, fx, fy)
+    S_up = st(S_p, fx, fy)
+    I_up = st(carry_I, fx, fy)
+    a_uu = st(st(alpha_pp, fx_prev, fy_prev), fx, fy)
+    S_uu = st(st(S_pp, fx_prev, fy_prev), fx, fy)
+    dtau = r * (alpha_c + a_up) * 0.5
+    dtau_uu = r_prev * (a_up + a_uu) * 0.5
+    C = bezier_control(S_uu, S_up, S_c, dtau_uu, dtau, first)
+    wu, wc, wk, ew = bezier_weights(dtau)
+    I_new = ew * I_up + wu * S_up + wc * S_c + wk * C
+    return I_new, I_new
+
+
 def _roll_y(col, s):
     """col[..., y+s] periodic, col shaped (B, Ny)."""
     return jnp.roll(col, -s, axis=-1) if s else col
@@ -267,9 +291,11 @@ def _march_step(plan, f_line, s_base, n_sweeps, w_cur, cols, centre_cols,
     # Unroll U columns per scan step: the column chain is sequential, but
     # per-step loop overhead dominates the (B, Ny) line update, so
     # amortizing it over U inlined updates is a large win on TPU.
+    import os
+    U_max = int(os.environ.get("VRT_MARCH_UNROLL", "8"))
     U = 1
-    for cand in (8, 4, 2):
-        if n_cols % cand == 0:
+    for cand in (U_max, U_max // 2, 8, 4, 2):
+        if cand >= 2 and n_cols % cand == 0:
             U = cand
             break
 
@@ -367,8 +393,9 @@ def _use_pallas(dtype):
             and os.environ.get("VRT_PALLAS") == "1")
 
 
-@partial(jax.jit, static_argnames=("plan", "n_sweeps"))
-def sweep(plan: RegularPlan, S, alpha, I0, z_unused=None, n_sweeps=3):
+@partial(jax.jit, static_argnames=("plan", "n_sweeps", "interpolation"))
+def sweep(plan: RegularPlan, S, alpha, I0, z_unused=None, n_sweeps=3,
+          interpolation="linear"):
     """Formal solution along direction plan.k over the whole grid.
 
     Args:
@@ -377,6 +404,10 @@ def sweep(plan: RegularPlan, S, alpha, I0, z_unused=None, n_sweeps=3):
       I0: (B, Nx, Ny) boundary intensity (bottom plane for up sweeps,
           top plane for down sweeps; lambda_iteration.jl:38-52).
       n_sweeps: Gauss-Seidel passes for the marching cases.
+      interpolation: 'linear' (reference parity, functions.jl:484-500)
+        or 'bezier' (quadratic DELO-Bezier source integration in the xy
+        segments; marching segments stay linear -- their one-line buffer
+        has no second-upwind sample).
     Returns:
       I: (nz, B, Nx, Ny).
 
@@ -395,7 +426,27 @@ def sweep(plan: RegularPlan, S, alpha, I0, z_unused=None, n_sweeps=3):
         alpha_p = alpha[prev]
         S_c = S[idx]
         S_p = S[prev]
-        if seg.case == "xy":
+        if seg.case == "xy" and interpolation == "bezier":
+            # second-upwind plane (two z-steps back; clamped at the
+            # boundary and at the segment start, where the previous
+            # step's ray geometry duplicates this step's)
+            prev2 = np.clip(idx - 2 if plan.up else idx + 2, 0,
+                            nz - 1)
+            r_prev = np.concatenate([seg.r[:1], seg.r[:-1]])
+            fx_prev = np.concatenate([seg.fx[:1], seg.fx[:-1]])
+            fy_prev = np.concatenate([seg.fy[:1], seg.fy[:-1]])
+            # no upstream sample at the boundary plane or a segment
+            # start: flag -> secant slope (linear-equivalent interval)
+            first = np.zeros(len(seg.steps))
+            first[0] = 1.0
+            xs = (alpha_c, alpha_p, S_c, S_p, alpha[prev2], S[prev2],
+                  jnp.asarray(seg.r), jnp.asarray(seg.fx),
+                  jnp.asarray(seg.fy), jnp.asarray(r_prev),
+                  jnp.asarray(fx_prev), jnp.asarray(fy_prev),
+                  jnp.asarray(first))
+            carry, ys = jax.lax.scan(partial(_xy_step_bezier, plan),
+                                     carry, xs)
+        elif seg.case == "xy":
             xs = (alpha_c, alpha_p, S_c, S_p,
                   jnp.asarray(seg.r), jnp.asarray(seg.fx),
                   jnp.asarray(seg.fy), jnp.asarray(seg.w_cur))
@@ -481,7 +532,7 @@ def sweep(plan: RegularPlan, S, alpha, I0, z_unused=None, n_sweeps=3):
 # ------------------------------------------------------------ public API
 
 def short_characteristics(k, S, alpha, I0, z, dx, dy, up, n_sweeps=3,
-                          plan=None):
+                          plan=None, interpolation="linear"):
     """Convenience wrapper building (or reusing) the static plan.
 
     S/alpha may be (nz, Nx, Ny) or (nz, B, Nx, Ny); I0 (Nx, Ny) or
@@ -494,5 +545,6 @@ def short_characteristics(k, S, alpha, I0, z, dx, dy, up, n_sweeps=3,
         I0 = I0[None]
     if plan is None:
         plan = build_plan(k, np.asarray(z), dx, dy, up)
-    I = sweep(plan, S, alpha, I0, n_sweeps=n_sweeps)
+    I = sweep(plan, S, alpha, I0, n_sweeps=n_sweeps,
+              interpolation=interpolation)
     return I[:, 0] if squeeze else I

@@ -149,6 +149,71 @@ def tau_unity_height(alpha, z):
     return heights
 
 
+def tau_unity_height_slanted(alpha, z, x, y, k):
+    """Height where optical depth along a slanted ray reaches 1.
+
+    Reference parity: plot_utils.jl:521-576 (write_tau_unity, slanted
+    variant) -- march from the top along direction k, bilinearly
+    sampling alpha at the ray's periodic-wrapped (x, y) per level and
+    accumulating tau over the path length.  Two reference quirks are
+    corrected here (documented, not reproduced): its x/y periodic wrap
+    assigns to misspelled variables (plot_utils.jl:553,560 `x_mrx`), and
+    its horizontal offset is not accumulated along the ray (each level
+    samples one step from the ORIGINAL column instead of following the
+    characteristic).
+
+    alpha: (nz, nx, ny); z ascending; k = (kz, kx, ky) with kz < 0 for a
+    ray traced downward from the top.  Returns (nx, ny) heights.
+    """
+    alpha = np.asarray(alpha)
+    z = np.asarray(z)
+    nz, nx, ny = alpha.shape
+    dx = x[1] - x[0]
+    dy = y[1] - y[0]
+    Lx, Ly = nx * dx, ny * dy
+
+    def sample(plane, ox, oy):
+        """Bilinear at (x + ox, y + oy), periodic (uniform grid)."""
+        fx, ix0 = np.modf(ox / dx % nx)
+        fy, iy0 = np.modf(oy / dy % ny)
+        ix0, iy0 = int(ix0), int(iy0)
+        p = np.roll(plane, (-ix0, -iy0), axis=(0, 1))
+        p1 = np.roll(p, -1, axis=0)
+        py = (1 - fy) * p + fy * np.roll(p, -1, axis=1)
+        p1y = (1 - fy) * p1 + fy * np.roll(p1, -1, axis=1)
+        return (1 - fx) * py + fx * p1y
+
+    # march from the top (z[-1]) downward; cumulative horizontal offset
+    a_col = np.empty_like(alpha)
+    a_col[0] = alpha[-1]
+    path = np.zeros(nz)
+    ox = oy = 0.0
+    for kk in range(1, nz):
+        dz = z[nz - kk] - z[nz - kk - 1]
+        r = abs(dz / k[0])
+        path[kk] = path[kk - 1] + r
+        ox -= r * k[1]
+        oy -= r * k[2]
+        a_col[kk] = sample(alpha[nz - kk - 1], ox, oy)
+
+    tau = np.zeros((nz, nx, ny))
+    for kk in range(1, nz):
+        tau[kk] = tau[kk - 1] + 0.5 * (path[kk] - path[kk - 1]) * (
+            a_col[kk] + a_col[kk - 1])
+
+    z_desc = z[::-1]
+    heights = np.empty((nx, ny))
+    for ix in range(nx):
+        for iy in range(ny):
+            col = tau[:, ix, iy]
+            idx = int(np.clip(np.searchsorted(col, 1.0), 1, nz - 1))
+            t0, t1 = col[idx - 1], col[idx]
+            f = 0.0 if t1 == t0 else (1.0 - t0) / (t1 - t0)
+            heights[ix, iy] = z_desc[idx - 1] + f * (z_desc[idx]
+                                                     - z_desc[idx - 1])
+    return heights
+
+
 def plot_grid_layers(sites, out_png=None):
     """Layer counts and neighbour statistics (python/plot_layers.py)."""
     stats = dict(

@@ -47,3 +47,34 @@ def test_line_profile_and_convergence_helpers(tmp_path):
     conv = plot_convergence([0.0, 1.0, 0.1, 0.01, 0.0],
                             out_png=str(tmp_path / "c.png"))
     assert len(conv) == 3
+
+
+def test_tau_unity_slanted_homogeneous():
+    """Homogeneous alpha: tau=1 at z_top - |kz|/alpha along the slant."""
+    from analysis.plots import tau_unity_height_slanted
+    nz, nx, ny = 40, 8, 8
+    z = np.linspace(0.0, 2.0, nz)
+    x = np.arange(nx) * 0.1
+    y = np.arange(ny) * 0.1
+    a0 = 4.0
+    alpha = np.full((nz, nx, ny), a0)
+    th = np.deg2rad(150.0)
+    k = np.array([np.cos(th), np.sin(th) * 0.6, np.sin(th) * 0.8])
+    h = tau_unity_height_slanted(alpha, z, x, y, k)
+    # tau(path) = a0 * path; path to height hh = (z_top - hh)/|kz|
+    expected = z[-1] - abs(k[0]) / a0
+    assert np.allclose(h, expected, atol=(z[1] - z[0]))
+
+
+def test_tau_unity_slanted_vertical_matches_vertical():
+    from analysis.plots import tau_unity_height, tau_unity_height_slanted
+    rng = np.random.default_rng(3)
+    nz, nx, ny = 30, 6, 6
+    z = np.linspace(0.0, 1.0, nz)
+    x = np.arange(nx) * 0.2
+    y = np.arange(ny) * 0.2
+    alpha = 10.0 ** rng.uniform(-0.5, 1.5, (nz, nx, ny))
+    h0 = tau_unity_height(alpha, z)
+    h1 = tau_unity_height_slanted(alpha, z, x, y,
+                                  np.array([-1.0, 0.0, 0.0]))
+    assert np.allclose(h0, h1, atol=1e-10)

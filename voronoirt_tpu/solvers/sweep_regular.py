@@ -190,17 +190,16 @@ def _shift(A, sx, sy):
 
 
 def _stencil_xy(A, sxs, sys, fx, fy):
-    """Bilinear sample at (x + fx', y + fy') via 4 shifted planes.
+    """Bilinear sample at (x + fx', y + fy') -- separable lerp.
 
     Equals the reference's `bilinear` at the upwind point of the xy rays
     (characteristics.jl:247,257,266) on an equidistant periodic grid.
+    Evaluated as lerp_x(lerp_y(A)): 2 materialized rolls per array
+    instead of the 4-tap form's ~6 (one tap per axis is the identity
+    shift) -- the xy plane update is roll-traffic-bound on TPU.
     """
-    w00 = (1.0 - fx) * (1.0 - fy)
-    w01 = (1.0 - fx) * fy
-    w10 = fx * (1.0 - fy)
-    w11 = fx * fy
-    return (w00 * _shift(A, sxs, sys) + w01 * _shift(A, sxs, sys + 1)
-            + w10 * _shift(A, sxs + 1, sys) + w11 * _shift(A, sxs + 1, sys + 1))
+    Ay = (1.0 - fy) * _shift(A, 0, sys) + fy * _shift(A, 0, sys + 1)
+    return (1.0 - fx) * _shift(Ay, sxs, 0) + fx * _shift(Ay, sxs + 1, 0)
 
 
 def _xy_step(plan, carry_I, inputs):

@@ -45,7 +45,8 @@ def main(small=False):
     import jax.numpy as jnp
     import numpy as np
     from voronoirt_tpu.quadrature import get_quadrature
-    from voronoirt_tpu.solvers.sweep_regular import build_plan, sweep
+    from voronoirt_tpu.solvers.sweep_regular import (
+        build_plan, sweep, group_plans, sweep_batched, flip_field)
 
     if small:
         nz, nx, ny, nlam, K = 48, 64, 64, 4, 2
@@ -66,12 +67,31 @@ def main(small=False):
 
     plans = [build_plan(quad.k[i], z, dx, dx, bool(quad.is_up[i]))
              for i in range(quad.n_angles)]
+    # mirror-quadrant angles batch into one sweep each (the marching
+    # kernels are latency-bound; a pair costs ~one sweep)
+    groups = group_plans(quad.k, quad.is_up, z, dx, dx)
     w = [float(v) for v in quad.weights]
 
     def J_pass(S):
         J = jnp.zeros_like(S)
-        for i, plan in enumerate(plans):
-            J = J + w[i] * sweep(plan, S, alpha, I0, n_sweeps=3)
+        for g in groups:
+            if len(g) == 1:
+                (i, _, _) = g[0]
+                J = J + w[i] * sweep(plans[i], S, alpha, I0, n_sweeps=3)
+                continue
+            S_b = jnp.concatenate(
+                [flip_field(S, fx, fy) for (_, _, (fx, fy)) in g], axis=1)
+            a_b = jnp.concatenate(
+                [flip_field(alpha, fx, fy) for (_, _, (fx, fy)) in g],
+                axis=1)
+            I0_b = jnp.concatenate(
+                [flip_field(I0, fx, fy) for (_, _, (fx, fy)) in g],
+                axis=0)
+            I_b = sweep_batched(tuple(p for (_, p, _) in g), S_b, a_b,
+                                I0_b, n_sweeps=3)
+            for e, (i, _, (fx, fy)) in enumerate(g):
+                I_e = flip_field(I_b[:, e * nlam:(e + 1) * nlam], fx, fy)
+                J = J + w[i] * I_e
         return J
 
     mix = jax.jit(lambda S, J: 0.95 * S + 0.05 * J)

@@ -148,3 +148,26 @@ def test_voronoi_angle_distribution_matches_serial():
     J1, S1 = one_iter(eng)
     assert np.allclose(J0, J1, rtol=1e-12)
     assert np.allclose(S0, S1, rtol=1e-12)
+
+
+def test_grouped_angle_sweeps_match_per_angle():
+    """Mirror-angle batched sweeps (sweep_batched via plan_groups) must
+    equal the per-angle path; uniform z so that pairs actually form."""
+    import dataclasses
+    atmos = synthetic_atmosphere(nz=10, nx=8, ny=8, seed=3)
+    atmos = dataclasses.replace(
+        atmos, z=np.linspace(atmos.z[0], atmos.z[-1], len(atmos.z)))
+    cfg = Config(nlam_bb=5, nlam_bf=3, quadrature="ul7n12")
+    line = lyman_alpha_line(cfg.nlam_bb, cfg.nlam_bf,
+                            jnp.asarray(atmos.temperature))
+    eng = RegularEngine(atmos, line, cfg)
+    assert any(len(g) > 1 for g in eng.plan_groups), \
+        "expected mirror pairs on a uniform grid"
+    J1, S1, P1 = _run_one_iteration(eng)
+
+    eng0 = RegularEngine(atmos, line, cfg)
+    # force the per-angle path by breaking every group into singletons
+    eng0.plan_groups = [[m] for g in eng0.plan_groups for m in g]
+    J0, S0, P0 = _run_one_iteration(eng0)
+    assert np.allclose(J0, J1, rtol=1e-12)
+    assert np.allclose(S0, S1, rtol=1e-12)

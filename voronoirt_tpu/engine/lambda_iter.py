@@ -45,7 +45,9 @@ from ..physics.lte import lte_populations
 from ..physics.opacity import alpha_absorption, alpha_scattering
 from ..physics.rates import calculate_R, calculate_C
 from ..physics.stateq import get_revised_populations
-from ..solvers.sweep_regular import build_plan, sweep as sweep_regular
+from ..solvers.sweep_regular import (build_plan, sweep as sweep_regular,
+                                     group_plans, sweep_batched,
+                                     flip_field)
 from ..solvers.sweep_voronoi import sweep_voronoi
 
 
@@ -152,6 +154,11 @@ class RegularEngine:
             k = self.quad.k[i]
             up = bool(self.quad.is_up[i])
             self.plans.append(build_plan(k, z, atmos.dx, atmos.dy, up))
+        # mirror-quadrant angles share one batched sweep (the marching
+        # kernels are latency-bound: a group of P angles runs for ~the
+        # cost of one); singleton groups keep the per-angle path
+        self.plan_groups = group_plans(self.quad.k, self.quad.is_up, z,
+                                       atmos.dx, atmos.dy)
         self.T = jnp.asarray(atmos.temperature)
         self.ne = jnp.asarray(atmos.electron_density)
         self.nH = jnp.asarray(atmos.hydrogen_populations)
@@ -165,15 +172,25 @@ class RegularEngine:
         With cfg.lambda_chunk set, wavelengths stream in blocks through
         profile -> alpha -> sweep -> J, bounding peak memory.  With
         parallel.distribute_angles applied, each device owns a subset of
-        the quadrature directions (parallel/angles.py).
+        the quadrature directions (parallel/angles.py).  Mirror-quadrant
+        angle groups (plan_groups) run as single batched sweeps unless
+        angle MPMD or Bezier interpolation asks for per-angle sweeps.
         """
         from ..parallel import angles as _ang
         line, quad = self.line, self.quad
         devs = getattr(self, "angle_devices", None)
         lam = jnp.asarray(line.lam)
         chunks = _lambda_chunks(line.n_lambda, self.cfg.lambda_chunk)
+        grouped = (not devs
+                   and self.cfg.formal_interpolation == "linear"
+                   and any(len(g) > 1 for g in self.plan_groups))
         J_parts = []
         for sl in chunks:
+            if grouped:
+                J_parts.append(self._J_chunk_grouped(S[sl], populations,
+                                                     damping_lam[sl],
+                                                     lam[sl]))
+                continue
             if devs:
                 state = _ang.broadcast_state(
                     devs, S=S[sl], damping=damping_lam[sl],
@@ -219,6 +236,59 @@ class RegularEngine:
             J_parts.append(Jc)
         return J_parts[0] if len(J_parts) == 1 else jnp.concatenate(
             J_parts, axis=0)
+
+    def _J_chunk_grouped(self, S_c, populations, damp_c, lam_c):
+        """One lambda chunk of J with mirror-angle groups batched.
+
+        Per group: compute each angle's per-angle extinction, flip it to
+        the canonical quadrant, stack along the batch axis, run ONE
+        sweep, unflip, and accumulate the quadrature-weighted sum.
+        """
+        line, quad = self.line, self.quad
+        T_bottom = self.T[0]
+        Jc = jnp.zeros_like(S_c)
+        S_t = jnp.swapaxes(S_c, 0, 1)        # (nz, chunk, nx, ny)
+        B = S_t.shape[1]
+        for group in self.plan_groups:
+            if len(group) == 1:
+                (i, _, _) = group[0]
+                k = quad.k[i]
+                plan = self.plans[i]
+                v_los = line_of_sight_velocity(self.v, -k)
+                a_tot = _alpha_tot(line, lam_c, damp_c, v_los,
+                                   populations, self.a_cont)
+                a_t = jnp.swapaxes(a_tot, 0, 1)
+                if plan.up:
+                    I0 = B_lambda(lam_c[:, None, None], T_bottom[None])
+                else:
+                    I0 = jnp.zeros_like(S_c[:, 0])
+                I = sweep_regular(plan, S_t, a_t, I0,
+                                  n_sweeps=self.cfg.n_sweeps)
+                Jc = Jc + quad.weights[i] * jnp.swapaxes(I, 0, 1)
+                continue
+            S_parts, a_parts, I0_parts = [], [], []
+            for (i, plan_c, (fx, fy)) in group:
+                k = quad.k[i]
+                v_los = line_of_sight_velocity(self.v, -k)
+                a_tot = _alpha_tot(line, lam_c, damp_c, v_los,
+                                   populations, self.a_cont)
+                a_t = jnp.swapaxes(a_tot, 0, 1)
+                if plan_c.up:
+                    I0 = B_lambda(lam_c[:, None, None], T_bottom[None])
+                else:
+                    I0 = jnp.zeros_like(S_c[:, 0])
+                S_parts.append(flip_field(S_t, fx, fy))
+                a_parts.append(flip_field(a_t, fx, fy))
+                I0_parts.append(flip_field(I0, fx, fy))
+            plans = tuple(p for (_, p, _) in group)
+            I_b = sweep_batched(plans, jnp.concatenate(S_parts, axis=1),
+                                jnp.concatenate(a_parts, axis=1),
+                                jnp.concatenate(I0_parts, axis=0),
+                                n_sweeps=self.cfg.n_sweeps)
+            for e, (i, _, (fx, fy)) in enumerate(group):
+                I_e = flip_field(I_b[:, e * B:(e + 1) * B], fx, fy)
+                Jc = Jc + quad.weights[i] * jnp.swapaxes(I_e, 0, 1)
+        return Jc
 
     def damping_lam(self, populations):
         return _damping_lambda(self.line, self.T,

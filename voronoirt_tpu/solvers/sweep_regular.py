@@ -248,8 +248,8 @@ def _line_interp(col, sys, f):
     return (1.0 - f) * _roll_y(col, sys) + f * _roll_y(col, sys + 1)
 
 
-def _march_step(plan, f_line, s_base, n_sweeps, w_cur, cols, centre_cols,
-                I_prev_cols, nx_axis):
+def _march_step(r, f_line, s_base, n_sweeps, w_cur, cols, centre_cols,
+                I_prev_cols):
     """Shared yz/xz marching kernel over the ordered axis.
 
     cols: upwind-column slices (alpha_p, alpha_c, S_p, S_c) each
@@ -266,8 +266,8 @@ def _march_step(plan, f_line, s_base, n_sweeps, w_cur, cols, centre_cols,
     """
     alpha_pw, alpha_cw, S_pw, S_cw = cols
     alpha_c0, S_c0 = centre_cols
-    w_prev = 1.0 - w_cur
-    r = jnp.asarray(plan.r_x if nx_axis else plan.r_y)
+    r = jnp.asarray(r)          # scalar, or (B, 1) for batched angles
+    f_line = jnp.asarray(f_line)
 
     def line_body(buf, xs):
         a_pw, a_cw, s_pw, s_cw, i_pw, a_c0, s_c0, wc = xs
@@ -284,7 +284,8 @@ def _march_step(plan, f_line, s_base, n_sweeps, w_cur, cols, centre_cols,
         return i_new, i_new
 
     n_cols = alpha_pw.shape[0]
-    wc_arr = jnp.broadcast_to(w_cur, (n_cols,))
+    w = jnp.asarray(w_cur)      # scalar, or (B, 1) for batched angles
+    wc_arr = jnp.broadcast_to(w, (n_cols,) + w.shape)
     xs = (alpha_pw, alpha_cw, S_pw, S_cw, I_prev_cols, alpha_c0, S_c0, wc_arr)
 
     # Unroll U columns per scan step: the column chain is sequential, but
@@ -330,14 +331,23 @@ def _gather_order(N, sign):
 
 
 def _march_plane(plan, case, n_sweeps, w_cur, carry_I, alpha_c, alpha_p,
-                 S_c, S_p, centre_from_upper):
-    """One z-plane of the yz ('x' march) or xz ('y' march) case."""
+                 S_c, S_p, centre_from_upper, geom=None):
+    """One z-plane of the yz ('x' march) or xz ('y' march) case.
+
+    geom: optional dict with traced per-batch-element overrides of the
+    plan statics (f_line, r shaped (B, 1)) for angle-batched sweeps.
+    """
     if case == "yz":
-        sign, f_line, s_base, nx_axis = plan.sign_x, plan.fy_line, plan.sys, True
+        sign, f_line, s_base = plan.sign_x, plan.fy_line, plan.sys
+        r_m = plan.r_x
         ax = -2   # march over x; lines are (B, Ny)
     else:
-        sign, f_line, s_base, nx_axis = plan.sign_y, plan.fx_line, plan.sxs, False
+        sign, f_line, s_base = plan.sign_y, plan.fx_line, plan.sxs
+        r_m = plan.r_y
         ax = -1   # march over y; lines are (B, Nx)
+    if geom is not None:
+        f_line = geom["f_line"]
+        r_m = geom["r"]
 
     N = alpha_c.shape[ax]
     order, upwind, inv = _gather_order(N, sign)
@@ -355,8 +365,8 @@ def _march_plane(plan, case, n_sweeps, w_cur, carry_I, alpha_c, alpha_p,
     centre_cols = (take(centre_a, order), take(centre_s, order))
     I_prev_cols = take(carry_I, upwind)
 
-    lines = _march_step(plan, f_line, s_base, n_sweeps, w_cur, cols,
-                        centre_cols, I_prev_cols, nx_axis)
+    lines = _march_step(r_m, f_line, s_base, n_sweeps, w_cur, cols,
+                        centre_cols, I_prev_cols)
     # un-permute march order and put the axis back
     lines = jnp.take(lines, inv, axis=0)
     return jnp.moveaxis(lines, 0, ax)
@@ -522,6 +532,145 @@ def sweep(plan: RegularPlan, S, alpha, I0, z_unused=None, n_sweeps=3,
 
                 xs = (alpha_c, alpha_p, S_c, S_p, jnp.asarray(seg.w_cur))
                 carry, ys = jax.lax.scan(plane_body, carry, xs)
+        for j, i in enumerate(seg.steps):
+            planes[i] = ys[j]
+
+    return jnp.stack([planes[i] for i in range(nz)], axis=0)
+
+
+# ----------------------------------------------------- angle batching
+
+def plan_signature(plan: RegularPlan):
+    """Structural identity of a plan: two plans with equal signatures
+    compile to the same program and can share one batched sweep."""
+    return (plan.up, plan.sign_x, plan.sign_y, plan.sxs, plan.sys,
+            tuple((s.case, s.steps) for s in plan.segments))
+
+
+def canonical_flips(k):
+    """Axis flips taking direction k to the canonical quadrant.
+
+    Flipping the x (or y) axis of all fields maps a sweep along
+    (k0, k1, k2) to one along (k0, -k1, k2): mirror-pair quadrature
+    angles land on identical plan signatures and batch into one sweep.
+    """
+    return bool(k[1] < 0), bool(k[2] < 0)
+
+
+def flip_field(A, flip_x, flip_y):
+    """Reverse the trailing (x, y) axes; exact (periodic domain)."""
+    if flip_x:
+        A = jnp.flip(A, axis=-2)
+    if flip_y:
+        A = jnp.flip(A, axis=-1)
+    return A
+
+
+def group_plans(ks, ups, z, dx, dy):
+    """Bucket quadrature directions by canonical plan signature.
+
+    Returns a list of groups; each group is a list of
+    (angle_index, canonical_plan, (flip_x, flip_y)).  Marching
+    (yz/xz) sweeps are latency-bound, so batching a group's angles
+    into the wavelength axis runs them for ~the cost of one.
+    """
+    z = np.asarray(z)
+    groups = {}
+    for i, (k, up) in enumerate(zip(ks, ups)):
+        fx, fy = canonical_flips(k)
+        kc = np.array([k[0], abs(k[1]), abs(k[2])])
+        plan = build_plan(kc, z, dx, dy, bool(up))
+        sig = plan_signature(plan)
+        groups.setdefault(sig, []).append((i, plan, (fx, fy)))
+    return list(groups.values())
+
+
+def _geom_stack(vals_per_plan, B_lam, extra_dims):
+    """(P lists of per-step tuples) -> (L, P*B_lam, *1s) traced array."""
+    a = np.stack([np.asarray(v) for v in vals_per_plan], axis=1)  # (L, P)
+    a = np.repeat(a, B_lam, axis=1)
+    return jnp.asarray(a.reshape(a.shape + (1,) * extra_dims))
+
+
+@partial(jax.jit, static_argnames=("plans", "n_sweeps"))
+def sweep_batched(plans, S, alpha, I0, n_sweeps=3):
+    """One sweep for several same-signature directions at once.
+
+    Args:
+      plans: tuple of P canonical RegularPlans with equal
+        plan_signature (from group_plans).
+      S, alpha: (nz, P*B, Nx, Ny) -- the per-angle (already
+        canonically flipped) fields stacked along the batch axis.
+      I0: (P*B, Nx, Ny) stacked boundary intensities.
+    Returns:
+      I: (nz, P*B, Nx, Ny); split axis 1 into P blocks and unflip to
+      recover the per-angle results.  Linear interpolation only.
+
+    The per-direction geometry (path lengths, stencil fractions,
+    current-plane weights, line fractions) becomes traced per-element
+    arrays; the compiled program is the single-angle one with a wider
+    batch, so the latency-bound marching segments amortize P ways.
+    """
+    lead = plans[0]
+    P = len(plans)
+    nz = S.shape[0]
+    B_lam = S.shape[1] // P
+    planes = {}
+    carry = I0
+    bc_index = 0 if lead.up else nz - 1
+    planes[bc_index] = I0
+    dirn = 1 if lead.up else -1
+
+    def plane(A, t):
+        return jax.lax.dynamic_index_in_dim(A, t, axis=0, keepdims=False)
+
+    for si, seg in enumerate(lead.segments):
+        # planes are indexed on the fly inside the scan (slicing the
+        # stacked (L, P*B, Nx, Ny) copies up front doubles HBM and
+        # OOMs a 16 GB chip at production sizes)
+        steps_t = jnp.asarray(np.asarray(seg.steps, dtype=np.int32))
+        segs_p = [p.segments[si] for p in plans]
+        if seg.case == "xy":
+            xs = (steps_t,
+                  _geom_stack([s.r for s in segs_p], B_lam, 2),
+                  _geom_stack([s.fx for s in segs_p], B_lam, 2),
+                  _geom_stack([s.fy for s in segs_p], B_lam, 2))
+
+            def xy_body(carry_I, xs_t):
+                t, r, fx, fy = xs_t
+                step = (plane(alpha, t), plane(alpha, t - dirn),
+                        plane(S, t), plane(S, t - dirn), r, fx, fy, 0.0)
+                return _xy_step(lead, carry_I, step)
+
+            carry, ys = jax.lax.scan(xy_body, carry, xs)
+        else:
+            centre = "prev" if (seg.case == "xz" and not lead.up) else "cur"
+            if seg.case == "yz":
+                f_vals = [p.fy_line for p in plans]
+                r_vals = [p.r_x for p in plans]
+            else:
+                f_vals = [p.fx_line for p in plans]
+                r_vals = [p.r_y for p in plans]
+            geom = {
+                "f_line": jnp.asarray(
+                    np.repeat(np.asarray(f_vals), B_lam)[:, None]),
+                "r": jnp.asarray(
+                    np.repeat(np.asarray(r_vals), B_lam)[:, None]),
+            }
+
+            def plane_body(carry_I, xs_t, case=seg.case, centre=centre,
+                           geom=geom):
+                t, wc = xs_t
+                I_new = _march_plane(lead, case, n_sweeps, wc, carry_I,
+                                     plane(alpha, t),
+                                     plane(alpha, t - dirn),
+                                     plane(S, t), plane(S, t - dirn),
+                                     centre, geom=geom)
+                return I_new, I_new
+
+            xs = (steps_t,
+                  _geom_stack([s.w_cur for s in segs_p], B_lam, 1))
+            carry, ys = jax.lax.scan(plane_body, carry, xs)
         for j, i in enumerate(seg.steps):
             planes[i] = ys[j]
 

@@ -14,10 +14,30 @@ import json
 import time
 
 
+def _parse_mesh(spec):
+    """ "8" -> ((8,), ("y",));  "2x4" -> ((2, 4), ("x", "y")). """
+    if isinstance(spec, int):
+        return (spec,), ("y",)
+    parts = tuple(int(s) for s in str(spec).split("x"))
+    if len(parts) == 1:
+        return parts, ("y",)
+    if len(parts) == 2:
+        return parts, ("x", "y")
+    raise ValueError(f"bad mesh spec {spec!r} (use N or NxM)")
+
+
 def run(mesh_sizes=(1, 2, 4, 8), platform="cpu", nz=16, nx=16, ny=32,
-        nlam_bb=5, nlam_bf=3, mode="mesh"):
-    from voronoirt_tpu.platform import setup
-    setup(platform=platform, x64=True, n_cpu_devices=max(mesh_sizes))
+        nlam_bb=5, nlam_bf=3, mode="mesh", hosts=False):
+    """mode="mesh": spatial/lambda GSPMD sharding (mesh specs "N" for a
+    1-D y mesh or "NxM" for an (x, y) mesh; with hosts=True the x axis
+    is laid out as the DCN axis via make_hybrid_mesh, emulating
+    N-host scaling on a single process).  mode="angles": quadrature
+    MPMD round-robin."""
+    from voronoirt_tpu.platform import setup, distributed_init
+    specs = [_parse_mesh(s) for s in mesh_sizes]
+    n_max = max(int(__import__("numpy").prod(s)) for s, _ in specs)
+    setup(platform=platform, x64=True, n_cpu_devices=n_max)
+    distributed_init()
 
     import jax
     import jax.numpy as jnp
@@ -25,7 +45,8 @@ def run(mesh_sizes=(1, 2, 4, 8), platform="cpu", nz=16, nx=16, ny=32,
     from voronoirt_tpu import Config, synthetic_atmosphere
     from voronoirt_tpu.physics import lyman_alpha_line
     from voronoirt_tpu.engine import RegularEngine
-    from voronoirt_tpu.parallel import make_mesh, shard_regular
+    from voronoirt_tpu.parallel import (make_mesh, make_hybrid_mesh,
+                                        shard_regular)
 
     cfg = Config(nlam_bb=nlam_bb, nlam_bf=nlam_bf, quadrature="ul2n3")
     atmos = synthetic_atmosphere(nz=nz, nx=nx, ny=ny, seed=3)
@@ -33,11 +54,16 @@ def run(mesh_sizes=(1, 2, 4, 8), platform="cpu", nz=16, nx=16, ny=32,
                             jnp.asarray(atmos.temperature))
 
     results = []
-    for n_dev in mesh_sizes:
+    for spec, (shape, axes) in zip(mesh_sizes, specs):
+        n_dev = int(np.prod(shape))
         eng = RegularEngine(atmos, line, cfg)
         if n_dev > 1 and mode == "mesh":
-            mesh = make_mesh((n_dev,), ("y",),
-                             devices=jax.devices()[:n_dev])
+            if hosts and "x" in axes:
+                mesh = make_hybrid_mesh(shape, axes, dcn_axes=("x",),
+                                        devices=jax.devices()[:n_dev])
+            else:
+                mesh = make_mesh(shape, axes,
+                                 devices=jax.devices()[:n_dev])
             shard_regular(eng, mesh)
         elif n_dev > 1:   # mode == "angles": quadrature MPMD
             from voronoirt_tpu.parallel import distribute_angles
@@ -55,7 +81,8 @@ def run(mesh_sizes=(1, 2, 4, 8), platform="cpu", nz=16, nx=16, ny=32,
             J = one_pass()
         jax.block_until_ready(J)
         dt = (time.time() - t0) / reps
-        results.append({"devices": n_dev, "seconds_per_J": dt})
+        results.append({"mesh": str(spec), "devices": n_dev,
+                        "seconds_per_J": dt})
         print(json.dumps(results[-1]))
 
     t1 = results[0]["seconds_per_J"]
@@ -69,8 +96,12 @@ if __name__ == "__main__":
     import sys
     args = sys.argv[1:]
     mode = "mesh"
+    hosts = False
     if "--angles" in args:
         mode = "angles"
         args.remove("--angles")
-    sizes = tuple(int(s) for s in args) or (1, 2, 4, 8)
-    run(mesh_sizes=sizes, mode=mode)
+    if "--hosts" in args:
+        hosts = True   # "NxM" meshes lay x across (emulated) hosts
+        args.remove("--hosts")
+    sizes = tuple(args) or (1, 2, 4, 8)
+    run(mesh_sizes=sizes, mode=mode, hosts=hosts)

@@ -29,7 +29,8 @@ def _run_one_iteration(eng):
 
 
 @pytest.mark.parametrize("mesh_shape,axes", [((8,), ("y",)),
-                                             ((2, 4), ("lam", "y"))])
+                                             ((2, 4), ("lam", "y")),
+                                             ((4, 2), ("x", "y"))])
 def test_regular_sharded_matches_unsharded(mesh_shape, axes):
     assert len(jax.devices()) >= 8
     atmos = synthetic_atmosphere(nz=8, nx=8, ny=8, seed=3)
@@ -148,6 +149,32 @@ def test_voronoi_angle_distribution_matches_serial():
     J1, S1 = one_iter(eng)
     assert np.allclose(J0, J1, rtol=1e-12)
     assert np.allclose(S0, S1, rtol=1e-12)
+
+
+def test_hybrid_mesh_multihost_layout_matches_unsharded():
+    """make_hybrid_mesh with x as the DCN axis: same-device-layout
+    contract (DCN axis slowest-varying) + full-iteration equality."""
+    from voronoirt_tpu.parallel import make_hybrid_mesh
+
+    mesh = make_hybrid_mesh((2, 2, 2), ("x", "lam", "y"), dcn_axes=("x",))
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 2, 2)
+    # x (the emulated host axis) must vary slowest
+    assert (np.asarray(mesh.devices) == devs).all()
+
+    atmos = synthetic_atmosphere(nz=8, nx=8, ny=8, seed=3)
+    cfg = Config(nlam_bb=5, nlam_bf=3, quadrature="ul2n3")
+    line = lyman_alpha_line(cfg.nlam_bb, cfg.nlam_bf,
+                            jnp.asarray(atmos.temperature))
+    from voronoirt_tpu.physics.atom import pad_line
+    line = pad_line(line, -(-line.n_lambda // 2) * 2)
+    J0, S0, P0 = _run_one_iteration(RegularEngine(atmos, line, cfg))
+
+    eng = RegularEngine(atmos, line, cfg)
+    shard_regular(eng, mesh)
+    J1, S1, P1 = _run_one_iteration(eng)
+    assert np.allclose(J0, J1, rtol=1e-10)
+    assert np.allclose(S0, S1, rtol=1e-10)
+    assert np.allclose(P0, P1, rtol=1e-8)
 
 
 def test_grouped_angle_sweeps_match_per_angle():

@@ -35,3 +35,35 @@ def setup(platform=None, x64=True, n_cpu_devices=None, cache_dir=None):
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     return jax.default_backend()
+
+
+def distributed_init(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Join a multi-host run (the DCN mesh prerequisite).
+
+    Call once per process before any computation; afterwards
+    jax.devices() is the global device set and
+    parallel.make_hybrid_mesh lays DCN axes across processes.  No-op
+    when the environment provides no coordination info and no explicit
+    arguments are given (single-host runs), and when already
+    initialized.  On managed TPU pods jax.distributed.initialize
+    autodetects everything from the metadata/env.
+    """
+    import os
+    import warnings
+    import jax
+
+    explicit = coordinator_address or num_processes or process_id is not None
+    env = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+           or os.environ.get("COORDINATOR_ADDRESS"))
+    if not (explicit or env):
+        return  # single-host (TPU_WORKER_HOSTNAMES alone is not enough:
+        # it is set on single-host TPU VMs too)
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError as e:
+        # backend already up (or already initialized): keep running
+        # single-process rather than abort
+        warnings.warn(f"distributed_init skipped: {e}")

@@ -71,3 +71,46 @@ def test_schema_and_resume(tmp_path):
     assert np.allclose(res_resumed.S, res_full.S, rtol=1e-8)
     assert np.allclose(res_resumed.populations, res_full.populations,
                        rtol=1e-8)
+
+
+def test_orbax_backend_crash_resume(tmp_path):
+    """Orbax backend: same crash/resume contract as the HDF5 store."""
+    from voronoirt_tpu.engine.checkpoint_orbax import (OrbaxCheckpoint,
+                                                       recover_orbax)
+    from voronoirt_tpu.engine.lambda_iter import _run_iteration
+
+    atmos = synthetic_atmosphere(nz=8, nx=5, ny=5, seed=2)
+    cfg = Config(eps=1e-3, maxiter=4, nlam_bb=5, nlam_bf=3,
+                 quadrature="n2")
+
+    eng = _engine(cfg, atmos)
+    res_full = _run_iteration(eng)   # ground truth, no checkpointing
+
+    # checkpoint synchronously and crash after the 2nd write
+    class StopAfter:
+        def __init__(self, inner, n):
+            self.inner, self.n, self.count = inner, n, 0
+
+        def write_convergence(self, i, d):
+            self.inner.write_convergence(i, d)
+
+        def write_state(self, p, s):
+            self.inner.write_state(p, s)
+            self.count += 1
+            if self.count >= self.n:
+                raise KeyboardInterrupt
+
+    path = str(tmp_path / "orbax_ckpt")
+    ckpt = OrbaxCheckpoint(path, async_save=False)
+    ckpt.create_regular(eng.line, atmos, cfg.maxiter)
+    try:
+        _run_iteration(_engine(cfg, atmos), checkpoint=StopAfter(ckpt, 2))
+    except KeyboardInterrupt:
+        pass
+    ckpt.close()
+
+    res_resumed = recover_orbax(_engine(cfg, atmos), path)
+    assert np.allclose(res_resumed.S, res_full.S, rtol=1e-8)
+    assert np.allclose(res_resumed.populations, res_full.populations,
+                       rtol=1e-8)
+    assert res_resumed.iterations == res_full.iterations

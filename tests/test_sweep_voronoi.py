@@ -252,3 +252,22 @@ class TestSearchlightBatched:
         for b in range(B):
             Ib = np.asarray(sweep_voronoi(plan, S[b], alpha[b], I0[b]))
             assert np.allclose(I[b], Ib, rtol=1e-12)
+
+
+class TestGrazingWarning:
+    """build_voronoi_plan warns when 'layer' ordering will truncate a
+    grazing direction (docs/PARITY.md item 2 decision)."""
+
+    def test_layer_grazing_warns(self):
+        import warnings
+        from voronoirt_tpu.grid.voronoi import GrazingLayerOrderWarning
+        pos, _ = _grid_sites(5, jitter=0.3, seed=3)
+        sites = build_sites(pos, (0, 1, 0, 1, 0, 1), _fields(len(pos)))
+        with pytest.warns(GrazingLayerOrderWarning):
+            build_voronoi_plan(sites, kvec(100.0, 30.0), up=True)
+        # near-vertical and wavefront ordering stay silent
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", GrazingLayerOrderWarning)
+            build_voronoi_plan(sites, kvec(170.0, 30.0), up=True)
+            build_voronoi_plan(sites, kvec(100.0, 30.0), up=True,
+                               order="wavefront")

@@ -67,8 +67,12 @@ class OrbaxCheckpoint:
     def write_convergence(self, iteration, diff):
         if self._maxiter is None:
             self._create(max(iteration, 150))
-        if iteration < len(self._convergence):
-            self._convergence[iteration] = float(diff)
+        # grow dynamically: engine.run(checkpoint=...) never calls
+        # create_*, so a cfg.maxiter beyond the guessed preallocation
+        # must not silently drop entries (ADVICE r1)
+        while iteration >= len(self._convergence):
+            self._convergence.append(0.0)
+        self._convergence[iteration] = float(diff)
         self._iteration = max(self._iteration, iteration)
 
     def write_state(self, populations, S):

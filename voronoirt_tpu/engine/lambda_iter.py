@@ -440,8 +440,12 @@ def _run_iteration(engine, checkpoint=None, start_iteration=0, S_init=None,
         timings.append(time.time() - t0)
 
         if checkpoint is not None and (i % cfg.checkpoint_every == 0):
-            checkpoint.write_state(np.asarray(populations),
-                                   np.asarray(S_new))
+            # hand the jax.Arrays straight to the backend: Orbax writes
+            # sharded arrays per-shard (each process saves only its
+            # addressable shards on a multi-host mesh); the HDF5 backend
+            # materializes numpy itself.  np.asarray here would raise on
+            # a non-fully-addressable multi-host array.
+            checkpoint.write_state(populations, S_new)
         i += 1
 
     converged = convergence[-1] <= cfg.eps

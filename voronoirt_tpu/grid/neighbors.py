@@ -157,6 +157,10 @@ def topo_levels(upwind, active, is_bc):
     act = np.ascontiguousarray(active, dtype=np.uint8)
     bc = np.ascontiguousarray(is_bc, dtype=np.uint8)
     out = np.empty(n, dtype=np.int32)
+    # a stale libvoronoirt.so (built before this symbol existed; the .so
+    # is gitignored and built lazily) must fall back, not AttributeError
+    if lib is not None and getattr(lib, "vrt_topo_levels", None) is None:
+        lib = None
     if lib is not None:
         if not hasattr(lib.vrt_topo_levels, "_configured"):
             lib.vrt_topo_levels.restype = None

@@ -12,8 +12,19 @@ so the device sweep is a pure gather/FMA pipeline (SURVEY.md §7).
 from __future__ import annotations
 
 import dataclasses
+import warnings
 
 import numpy as np
+
+
+class GrazingLayerOrderWarning(UserWarning):
+    """'layer' sweep ordering truncates grazing-angle beams."""
+
+
+# empirical truncation bound of the BFS-layer + fixed-pass ordering: a
+# zero-opacity searchlight beam at |mu| <= 0.42 loses most of its flux
+# under 3 sweeps (docs/PARITY.md item 2; tests/test_sweep_voronoi.py)
+GRAZING_MU = 0.45
 
 from .neighbors import (voronoi_neighbors, bfs_layers, topo_levels,
                         BOTTOM_WALL, TOP_WALL)
@@ -149,8 +160,11 @@ def build_voronoi_plan(sites: VoronoiSites, k, up, p=7.0,
         Every active edge strictly increases s = pos . k (unwrapped), so
         Kahn levelling yields exact levels -- one pass per level, every
         upwind already computed -- except for chains wrapping the
-        periodic x/y seam, which are s-sorted into equal-count bins
-        relaxed with n_sweeps passes.  Exact where the reference's fixed
+        periodic x/y seam, which are s-sorted into equal-count bins,
+        one Jacobi pass per bin; sequencing comes from the bin order
+        plus relax_repeats global repeats of the bin schedule (n_sweeps
+        only feeds the exact-level cost heuristic).  Exact where the
+        reference's fixed
         3 sweeps truncate (grazing angles lose most of the beam,
         tests/test_sweep_voronoi.py), and usually cheaper: one pass per
         level instead of n_sweeps per layer.  If the exact levels are
@@ -212,6 +226,15 @@ def build_voronoi_plan(sites: VoronoiSites, k, up, p=7.0,
     bc_sites = np.nonzero(layers == 1)[0].astype(np.int32)
 
     if order != "wavefront":
+        if abs(k[0]) < GRAZING_MU:
+            warnings.warn(
+                "voronoi_order='layer' truncates horizontal propagation "
+                f"at grazing angles (|mu|={abs(k[0]):.2f} < {GRAZING_MU}): "
+                "a low-opacity beam loses most of its flux, matching the "
+                "reference's artifact (docs/PARITY.md item 2).  Use "
+                "Config(voronoi_order='wavefront') for the exact "
+                "upwind-DAG ordering.", GrazingLayerOrderWarning,
+                stacklevel=2)
         return VoronoiPlan(k=tuple(k), up=up, layer_sites=layer_sites,
                            upwind=upwind, weights=weights, r=r,
                            bc_sites=bc_sites, n=n)

@@ -294,10 +294,11 @@ def _march_step(r, f_line, s_base, n_sweeps, w_cur, cols, centre_cols,
     import os
     U_max = int(os.environ.get("VRT_MARCH_UNROLL", "8"))
     U = 1
-    for cand in (U_max, U_max // 2, 8, 4, 2):
-        if cand >= 2 and n_cols % cand == 0:
-            U = cand
-            break
+    if U_max > 1:   # VRT_MARCH_UNROLL<=1 = explicit un-unrolled scan
+        for cand in (U_max, U_max // 2, 8, 4, 2):
+            if cand >= 2 and n_cols % cand == 0:
+                U = cand
+                break
 
     if U > 1:
         xs = tuple(a.reshape((n_cols // U, U) + a.shape[1:]) for a in xs)

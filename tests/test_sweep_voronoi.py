@@ -19,6 +19,14 @@ def _fields(n):
                 velocity_x=np.zeros(n), velocity_y=np.zeros(n))
 
 
+def _skipped_site(sites, up=True):
+    """Site the reference never updates under 'layer' ordering: the last
+    entry of the sweep permutation (docs/PARITY.md item 3), reproduced by
+    build_voronoi_plan when compat='reference'."""
+    layers = sites.layers_up if up else sites.layers_down
+    return int(np.nonzero(layers == layers.max())[0][-1])
+
+
 def _grid_sites(m, lo=0.0, hi=1.0, jitter=0.0, seed=0):
     """Sites on (or near) regular grid points, cell-centred."""
     rng = np.random.default_rng(seed)
@@ -64,8 +72,10 @@ class TestRegularIdentity:
         aw, bw, ew = (float(v) for v in linear_weights(a0 * dz))
         for i in range(1, m):
             expected[i] = ew * expected[i - 1] + (aw + bw) * S0
+        skipped = _skipped_site(sites)
+        assert I[skipped] == 0.0  # reference's last-perm-site skip
         for iz in range(m):
-            got = I[iz_of == iz]
+            got = I[(iz_of == iz) & (np.arange(n) != skipped)]
             assert np.allclose(got, expected[iz], rtol=1e-10), f"layer {iz}"
 
     def test_oblique_on_jittered_grid_bounded(self):
@@ -82,7 +92,10 @@ class TestRegularIdentity:
         I0 = np.full(len(plan.bc_sites), 0.5)
         I = np.asarray(sweep_voronoi(plan, S, alpha, I0))
         assert np.all(np.isfinite(I))
-        assert I.min() >= 0.5 - 1e-9 and I.max() <= 2.0 + 1e-9
+        skipped = _skipped_site(sites)
+        assert I[skipped] == 0.0  # reference's last-perm-site skip
+        live = np.arange(n) != skipped
+        assert I[live].min() >= 0.5 - 1e-9 and I[live].max() <= 2.0 + 1e-9
 
 
 class TestSearchlightIrregular:
@@ -218,7 +231,11 @@ class TestWavefrontOrder:
         I0 = rng.uniform(0.2, 0.9, len(pl.bc_sites))
         I_l = np.asarray(sweep_voronoi(pl, S, alpha, I0))
         I_w = np.asarray(sweep_voronoi(pw, S, alpha, I0))
-        assert np.allclose(I_l, I_w, rtol=1e-12)
+        # layer mode under compat='reference' zeroes the last perm site
+        skipped = _skipped_site(sites)
+        assert I_l[skipped] == 0.0
+        live = np.arange(n) != skipped
+        assert np.allclose(I_l[live], I_w[live], rtol=1e-12)
 
     def test_batched_matches_single_wavefront(self):
         rng = np.random.default_rng(5)

@@ -182,18 +182,42 @@ def build_voronoi_plan(sites: VoronoiSites, k, up, p=7.0,
     dots = np.einsum("nwc,c->nw", sites.delaunay_lines, k)
     dots = np.where(valid, dots, -np.inf)
 
-    # top-2 neighbours by dot product
-    nb_order = np.argsort(-dots, axis=1)
-    i1 = nb_order[:, 0]
-    i2 = nb_order[:, 1] if W > 1 else nb_order[:, 0]
-    ar = np.arange(n)
-    d1 = dots[ar, i1]
-    d2 = dots[ar, i2]
-    up1 = np.where(valid[ar, i1], idx[ar, i1], 0)
-    up2 = np.where(valid[ar, i2], idx[ar, i2], up1)
+    if compat == "reference":
+        # the reference's smallest_angle (voronoi_utils.jl:360-396) is a
+        # STREAMING selection over the stored neighbour order, not a true
+        # top-2: a new maximum overwrites slot 1 without demoting the old
+        # maximum to slot 2, so slot 2 ends up holding the best value seen
+        # while it was NOT a running maximum.  Order-dependent; reproduced
+        # column-by-column here (docs/PARITY.md).
+        d1 = np.full(n, -1.0)
+        d2 = np.full(n, -1.0)
+        up1 = np.zeros(n, dtype=np.int64)
+        up2 = np.zeros(n, dtype=np.int64)
+        for w in range(W):
+            d = dots[:, w]
+            cand = idx[:, w]
+            beats2 = d > d2
+            beats1 = beats2 & (d > d1)
+            take2 = beats2 & ~beats1
+            d2 = np.where(take2, d, d2)
+            up2 = np.where(take2, cand, up2)
+            d1 = np.where(beats1, d, d1)
+            up1 = np.where(beats1, cand, up1)
+        up1 = np.where(d1 > -1.0, up1, 0)
+        bad2 = d2 <= 0.0
+    else:
+        # true top-2 neighbours by dot product
+        nb_order = np.argsort(-dots, axis=1)
+        i1 = nb_order[:, 0]
+        i2 = nb_order[:, 1] if W > 1 else nb_order[:, 0]
+        ar = np.arange(n)
+        d1 = dots[ar, i1]
+        d2 = dots[ar, i2]
+        up1 = np.where(valid[ar, i1], idx[ar, i1], 0)
+        up2 = np.where(valid[ar, i2], idx[ar, i2], up1)
+        bad2 = ~np.isfinite(d2) | (d2 <= 0.0)
 
     # reference fallback: second upwind invalid if its dot <= 0
-    bad2 = ~np.isfinite(d2) | (d2 <= 0.0)
     up2 = np.where(bad2, up1, up2)
     d2 = np.where(bad2, 0.0, d2)
     d1 = np.maximum(np.where(np.isfinite(d1), d1, 0.0), 0.0)
@@ -224,6 +248,15 @@ def build_voronoi_plan(sites: VoronoiSites, k, up, p=7.0,
         ids = np.nonzero(layers == l)[0]
         layer_sites[l - 2, :len(ids)] = ids
     bc_sites = np.nonzero(layers == 1)[0].astype(np.int32)
+
+    if compat == "reference" and order != "wavefront" and L >= 2:
+        # reduce_layers (voronoi_utils.jl:253-269) ends the offset vector
+        # at n instead of n+1, so the final site of the sweep permutation
+        # (the highest-index site of the top layer under stable sortperm)
+        # is never updated and keeps I = 0 (docs/PARITY.md item 3).
+        last = np.nonzero(layers == L)[0][-1]
+        row = layer_sites[L - 2]
+        layer_sites[L - 2] = np.where(row == last, n, row)
 
     if order != "wavefront":
         if abs(k[0]) < GRAZING_MU:

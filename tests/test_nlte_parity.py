@@ -1,0 +1,99 @@
+"""End-to-end NLTE Lambda-loop parity vs the transliteration oracle.
+
+Golden data: tests/golden/nlte_fixtures.npz (provenance in
+tests/golden/README.md) -- J, S and populations after 3 full Lambda
+iterations of the reference chain (lambda_iteration.jl:116-297:
+gamma(populations) -> per-angle Voigt profiles -> alpha_tot -> formal
+solution over 12 angles x 17 wavelengths -> J -> S=(1-eps)J+epsB ->
+radiative rates with the reference's /1000 + pair-sum quirks
+(rates.jl:211-364) -> 2x2 statistical equilibrium
+(populations.jl:147-221)) on a 10x8x8 synthetic atmosphere and a
+500-site Voronoi grid, compat='reference'.
+
+The engine must reproduce the oracle to float64 rounding: the regular
+sweep is roll-stencil/scan, the irregular sweep slot-ordered -- both
+exactly equivalent reformulations of the reference's loop nests
+(including the in-layer Gauss-Seidel order, the streaming top-2 upwind
+selection and the skipped last permutation site).
+"""
+
+import numpy as np
+import pytest
+
+from voronoirt_tpu.atmosphere import Atmosphere
+from voronoirt_tpu.config import Config
+from voronoirt_tpu.engine.lambda_iter import RegularEngine, VoronoiEngine
+from voronoirt_tpu.grid.voronoi import VoronoiSites
+from voronoirt_tpu.physics.atom import lyman_alpha_line
+
+FIXTURE = "tests/golden/nlte_fixtures.npz"
+
+
+@pytest.fixture(scope="module")
+def fx():
+    return np.load(FIXTURE)
+
+
+def _cfg():
+    return Config(maxiter=3, eps=1e-30, quadrature="ul7n12",
+                  nlam_bb=9, nlam_bf=4, compat="reference")
+
+
+def _assert_close(got, want, what, rtol):
+    got = np.asarray(got)
+    denom = np.where(want == 0.0, 1.0, want)
+    rd = np.abs(got / denom - 1.0)
+    rd = np.where(want == 0.0, np.abs(got), rd)
+    assert rd.max() < rtol, f"{what}: max rel diff {rd.max():.3e}"
+
+
+class TestRegularNLTEParity:
+    def test_three_iterations(self, fx):
+        atmos = Atmosphere(
+            z=fx["reg_atmos_z"], x=fx["reg_atmos_x"], y=fx["reg_atmos_y"],
+            temperature=fx["reg_atmos_temperature"],
+            electron_density=fx["reg_atmos_electron_density"],
+            hydrogen_populations=fx["reg_atmos_hydrogen_populations"],
+            velocity_z=fx["reg_atmos_velocity_z"],
+            velocity_x=fx["reg_atmos_velocity_x"],
+            velocity_y=fx["reg_atmos_velocity_y"])
+        line = lyman_alpha_line(9, 4, np.asarray(atmos.temperature))
+        eng = RegularEngine(atmos, line, _cfg())
+        # the frozen physics (alpha_cont, eps, C) are shared inputs of the
+        # fixture -- regression-pin them
+        _assert_close(eng.a_cont, fx["reg_alpha_cont"], "alpha_cont", 1e-12)
+        _assert_close(eng.eps, fx["reg_eps"], "eps", 1e-12)
+        for key in ((0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1)):
+            _assert_close(eng.C[key], fx[f"reg_C_{key[0]}{key[1]}"],
+                          f"C{key}", 1e-12)
+        res = eng.run()
+        assert res.iterations == 3
+        _assert_close(res.J, fx["reg_J_2"], "J", 1e-8)
+        _assert_close(res.S, fx["reg_S_2"], "S", 1e-8)
+        _assert_close(res.populations, fx["reg_pops_2"], "pops", 1e-7)
+
+
+class TestVoronoiNLTEParity:
+    def test_three_iterations(self, fx):
+        sites = VoronoiSites(
+            positions=fx["vor_sites_positions"],
+            neighbours=fx["vor_sites_neighbours"],
+            delaunay_lines=fx["vor_sites_delaunay_lines"],
+            layers_up=fx["vor_sites_layers_up"],
+            layers_down=fx["vor_sites_layers_down"],
+            temperature=fx["vor_sites_temperature"],
+            electron_density=fx["vor_sites_electron_density"],
+            hydrogen_populations=fx["vor_sites_hydrogen_populations"],
+            velocity_z=fx["vor_sites_velocity_z"],
+            velocity_x=fx["vor_sites_velocity_x"],
+            velocity_y=fx["vor_sites_velocity_y"],
+            bounds=tuple(fx["vor_bounds"]))
+        line = lyman_alpha_line(9, 4, np.asarray(sites.temperature))
+        eng = VoronoiEngine(sites, line, _cfg())
+        _assert_close(eng.a_cont, fx["vor_alpha_cont"], "alpha_cont", 1e-12)
+        _assert_close(eng.eps, fx["vor_eps"], "eps", 1e-12)
+        res = eng.run()
+        assert res.iterations == 3
+        _assert_close(res.J, fx["vor_J_2"], "J", 1e-8)
+        _assert_close(res.S, fx["vor_S_2"], "S", 1e-8)
+        _assert_close(res.populations, fx["vor_pops_2"], "pops", 1e-7)

@@ -95,7 +95,8 @@ class TestUpwindSelection:
         sites = build_sites(pos, (0, 1, 0, 1, 0, 1), fields)
         k = np.array([-0.5, 0.6, 0.624])
         k /= np.linalg.norm(k)
-        plan = build_voronoi_plan(sites, k, up=True)
+        plan_ref = build_voronoi_plan(sites, k, up=True)
+        plan_fix = build_voronoi_plan(sites, k, up=True, compat="fixed")
 
         nb = sites.neighbours
         for i in rng.choice(n, 40, replace=False):
@@ -107,17 +108,36 @@ class TestUpwindSelection:
                 d = float(np.dot(sites.delaunay_lines[i, j], k))
                 dots.append(d)
                 idxs.append(v)
+            # compat='fixed': the true top-2 by dot product
             order = np.argsort(dots)[::-1]
             d1, i1 = dots[order[0]], idxs[order[0]]
             if len(order) > 1 and dots[order[1]] > 0:
                 d2, i2 = dots[order[1]], idxs[order[1]]
             else:
                 d2, i2 = 0.0, i1
-            assert plan.upwind[i, 0] == i1
-            assert plan.upwind[i, 1] == i2
+            assert plan_fix.upwind[i, 0] == i1
+            assert plan_fix.upwind[i, 1] == i2
             p = 7.0
             tot = d1**p + d2**p
-            assert plan.weights[i, 0] == pytest.approx(d1**p / tot)
+            assert plan_fix.weights[i, 0] == pytest.approx(d1**p / tot)
+
+            # compat='reference': the streaming scan in stored order --
+            # a new maximum does NOT demote the old one to slot 2
+            # (voronoi_utils.jl:360-396; docs/PARITY.md item 3b)
+            s1 = s2 = -1.0
+            j1 = j2 = None
+            for d, v in zip(dots, idxs):
+                if d > s2:
+                    if d > s1:
+                        s1, j1 = d, v
+                    else:
+                        s2, j2 = d, v
+            if s2 <= 0:
+                s2, j2 = 0.0, j1
+            assert plan_ref.upwind[i, 0] == j1
+            assert plan_ref.upwind[i, 1] == j2
+            tot = s1**p + s2**p
+            assert plan_ref.weights[i, 0] == pytest.approx(s1**p / tot)
 
 
 def test_initialise_nearest_corner():

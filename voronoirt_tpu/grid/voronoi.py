@@ -142,6 +142,107 @@ class VoronoiPlan:
     relax_levels: np.ndarray | None = None   # (Lr, Wr): n_sweeps each
     relax_repeats: int = 1       # global repeats of the relax schedule
     # (seam-wrapping chains re-enter earlier bins; one repeat per wrap)
+    gs_levels: np.ndarray | None = None      # (R, Wg): exact Gauss-Seidel
+    # row order for 'layer' mode (see _gs_layer_schedule), 1 pass per row
+    gs_up_occ: np.ndarray | None = None      # (R, Wg, 2): flat occurrence
+    # index of each upwind's target pass copy, -1 = resolve by site id
+
+
+def _gs_layer_schedule(layer_lists, upwind, active, n, n_sweeps, up):
+    """Slot rows that reproduce the reference's in-layer Gauss-Seidel
+    EXACTLY with parallel (Jacobi-read) row updates.
+
+    The reference iterates each BFS layer's sites in permutation order
+    (ascending site id for up sweeps, descending for down,
+    irregular_ray_tracing.jl:41,122), updating in place over n_sweeps
+    passes.  In pass p, a site s reading upwind u sees u's THIS-pass
+    value iff u precedes s in iteration order, else u's pass-(p-1) value.
+    Reproduced by levelling each layer's sites along the DAG of
+      true deps  (u before s):  lev(s) >= lev(u) + 1
+      anti deps  (u after  s):  lev(u) >= lev(s)   (same row is fine --
+                                 a row's update reads pre-row values)
+    (all edges point forward in iteration order, so one ordered pass
+    computes the levels), then scheduling each layer's level blocks
+    n_sweeps times in sequence.  Every site appears once PER PASS; a
+    reader targets the occurrence of the pass its value must come from
+    (this pass for true deps, the previous pass for anti deps -- pass 0
+    anti deps target the not-yet-written pass-0 occurrence, which still
+    holds the correct initial 0).
+
+    Returns (sched (R, Wg) site ids padded with n,
+             up_occ (R, Wg, 2) flat occurrence index row*Wg+col of each
+             upwind's target occurrence, or -1 to resolve by site id
+             (boundary/other-layer/skipped upwinds)).
+    """
+    row_sites = []     # list of lists of site ids, execution order
+    row_pass = []      # pass index per row
+    lev_of = {}
+    layer_of = {}
+    pos_of_all = {}
+    per_layer = []     # (ids_order, D)
+    for li, ids in enumerate(layer_lists):
+        ids_order = [int(s) for s in (ids if up else ids[::-1])]
+        pos_of = {s: j for j, s in enumerate(ids_order)}
+        readers = {}
+        for s in ids_order:
+            for rn in range(2):
+                if active[s, rn]:
+                    u = int(upwind[s, rn])
+                    if u in pos_of and pos_of[u] > pos_of[s]:
+                        readers.setdefault(u, []).append(s)
+        D = 0
+        for s in ids_order:
+            lv = 0
+            for rn in range(2):
+                if active[s, rn]:
+                    u = int(upwind[s, rn])
+                    if u in pos_of and pos_of[u] < pos_of[s]:
+                        lv = max(lv, lev_of[u] + 1)
+            for rdr in readers.get(s, ()):
+                lv = max(lv, lev_of[rdr])
+            lev_of[s] = lv
+            layer_of[s] = li
+            pos_of_all[s] = pos_of[s]
+            D = max(D, lv + 1)
+        per_layer.append((ids_order, D))
+
+    occ = {}           # (site, pass) -> (row, col)
+    for li, (ids_order, D) in enumerate(per_layer):
+        sub = [[] for _ in range(D)]
+        for s in ids_order:
+            sub[lev_of[s]].append(s)
+        for p in range(n_sweeps):
+            for d in range(D):
+                if not sub[d]:
+                    continue
+                r_idx = len(row_sites)
+                row_sites.append(sub[d])
+                row_pass.append(p)
+                for c, s in enumerate(sub[d]):
+                    occ[(s, p)] = (r_idx, c)
+
+    if not row_sites:
+        return (np.full((0, 1), n, dtype=np.int32),
+                np.full((0, 1, 2), -1, dtype=np.int64))
+    Wg = max(len(r) for r in row_sites)
+    sched = np.full((len(row_sites), Wg), n, dtype=np.int32)
+    up_occ = np.full((len(row_sites), Wg, 2), -1, dtype=np.int64)
+    for r_idx, sites_r in enumerate(row_sites):
+        p = row_pass[r_idx]
+        for c, s in enumerate(sites_r):
+            sched[r_idx, c] = s
+            for rn in range(2):
+                if not active[s, rn]:
+                    continue
+                u = int(upwind[s, rn])
+                if layer_of.get(u) != layer_of[s]:
+                    continue  # bc / other layer / skipped: by site id
+                if pos_of_all[u] < pos_of_all[s]:
+                    target = occ[(u, p)]            # true dep: this pass
+                else:
+                    target = occ[(u, max(p - 1, 0))]  # anti dep: previous
+                up_occ[r_idx, c, rn] = target[0] * Wg + target[1]
+    return sched, up_occ
 
 
 def build_voronoi_plan(sites: VoronoiSites, k, up, p=7.0,
@@ -155,7 +256,9 @@ def build_voronoi_plan(sites: VoronoiSites, k, up, p=7.0,
 
     order:
       'layer' (reference parity): BFS wall-distance layers, n_sweeps
-        Jacobi passes per layer (irregular_ray_tracing.jl:37-79).
+        Gauss-Seidel passes per layer in the reference's permutation
+        order, reproduced exactly by the occurrence-resolved gs schedule
+        (irregular_ray_tracing.jl:37-79; _gs_layer_schedule).
       'wavefront': order sites by the 2-upwind dependency DAG itself.
         Every active edge strictly increases s = pos . k (unwrapped), so
         Kahn levelling yields exact levels -- one pass per level, every
@@ -259,6 +362,9 @@ def build_voronoi_plan(sites: VoronoiSites, k, up, p=7.0,
         layer_sites[L - 2] = np.where(row == last, n, row)
 
     if order != "wavefront":
+        layer_lists = [row[row < n] for row in layer_sites]
+        gs_levels, gs_up_occ = _gs_layer_schedule(
+            layer_lists, upwind, weights > 0.0, n, n_sweeps, up)
         if abs(k[0]) < GRAZING_MU:
             warnings.warn(
                 "voronoi_order='layer' truncates horizontal propagation "
@@ -270,7 +376,8 @@ def build_voronoi_plan(sites: VoronoiSites, k, up, p=7.0,
                 stacklevel=2)
         return VoronoiPlan(k=tuple(k), up=up, layer_sites=layer_sites,
                            upwind=upwind, weights=weights, r=r,
-                           bc_sites=bc_sites, n=n)
+                           bc_sites=bc_sites, n=n, gs_levels=gs_levels,
+                           gs_up_occ=gs_up_occ)
 
     is_bc = np.zeros(n, dtype=bool)
     is_bc[bc_sites] = True

@@ -21,16 +21,19 @@ row-takes and DUS vectorize across the trailing lane axis).
 
 lax.scan walks the levels (the irreducibly sequential wavefront
 direction); within a level all sites and the wavelength batch update
-simultaneously.  In-level data dependencies are resolved by the same
-fixed n_sweeps Jacobi pass count the reference uses Gauss-Seidel-style;
-the fixed point is identical and the searchlight/identity fixtures bound
-the difference (tests/test_sweep_voronoi.py).
+simultaneously.  The reference's in-layer Gauss-Seidel order is
+reproduced EXACTLY by the occurrence-resolved gs schedule
+(grid/voronoi.py _gs_layer_schedule): each site gets one slot per pass
+and readers target the occurrence of the pass their value must come
+from, so parallel rows with Jacobi reads give bitwise Gauss-Seidel
+semantics (pinned end-to-end by tests/test_nlte_parity.py).
 
 Ordering modes (grid/voronoi.py build_voronoi_plan):
   'layer' (default, reference parity): BFS wall-distance layers,
-    n_sweeps passes per layer.  Fixed pass counts truncate horizontal
-    propagation -- at grazing angles (10 of the 12 production ul7n12
-    directions have |mu| <= 0.42) most of a zero-opacity beam is lost.
+    n_sweeps exact Gauss-Seidel passes per layer.  Fixed pass counts
+    truncate horizontal propagation -- at grazing angles (10 of the 12
+    production ul7n12 directions have |mu| <= 0.42) most of a
+    zero-opacity beam is lost.
   'wavefront': exact Kahn levels over the 2-upwind dependency DAG (one
     pure-gather pass per level, every upwind already final) plus
     s = pos.k sorted bins with global repeats for seam-wrapping chains.
@@ -93,6 +96,10 @@ def _schedule_stages(plan, n_sweeps):
             out.append((plan.relax_levels, 1,
                         int(getattr(plan, "relax_repeats", 1))))
         return out
+    if getattr(plan, "gs_levels", None) is not None:
+        # exact Gauss-Seidel row order (grid/voronoi.py
+        # _gs_layer_schedule): n_sweeps is already baked into the rows
+        return [(plan.gs_levels, 1, 1)]
     return [(plan.layer_sites, n_sweeps, 1)]
 
 
@@ -122,7 +129,19 @@ def build_slot_plan(plan, n_sweeps=3):
         metas.append((base, L, W, passes, repeats))
         base += L * W
     slot2site = np.concatenate(slot2site)
-    n_slots = base
+
+    # sites absent from every schedule row (the reference's skipped last
+    # perm site, unreachable layer-0 sites) still appear as UPWINDS of
+    # scheduled sites: give them read-only slots so their S/alpha gather
+    # real values while their intensity stays the initial 0 (exactly the
+    # reference's behaviour) -- the dummy zero row is only for padding.
+    present = np.zeros(n, dtype=bool)
+    real_entries = slot2site[slot2site < n]
+    present[real_entries] = True
+    orphans = np.nonzero(~present)[0]
+    if orphans.size:
+        slot2site = np.concatenate([slot2site, orphans])
+    n_slots = len(slot2site)
 
     site2slot = np.full(n + 1, n_slots, dtype=np.int64)  # dummy -> zero row
     real = slot2site < n
@@ -133,12 +152,20 @@ def build_slot_plan(plan, n_sweeps=3):
     w_pad = np.concatenate([plan.weights, [[0.0, 0.0]]], axis=0)
     r_pad = np.concatenate([plan.r, [[0.0, 0.0]]], axis=0)
 
+    gs_occ = getattr(plan, "gs_up_occ", None)
     stages = []
     for (sched, _, _), (b, L, W, passes, repeats) in zip(raw, metas):
         sc = np.asarray(sched, dtype=np.int64)
+        up_slots = site2slot[up_pad[sc]]                 # (L, W, 2) slots
+        if gs_occ is not None and sched is plan.gs_levels:
+            # exact-GS stage: a site occurs once per pass; readers whose
+            # upwind lives in the same layer target the occurrence of the
+            # pass their value must come from (grid/voronoi.py
+            # _gs_layer_schedule); -1 keeps the site-level resolution
+            up_slots = np.where(gs_occ >= 0, b + gs_occ, up_slots)
         stages.append(SlotStage(
             base=b, L=L, W=W,
-            up=site2slot[up_pad[sc]].astype(np.int32),   # (L, W, 2) slots
+            up=up_slots.astype(np.int32),
             w=w_pad[sc], r=r_pad[sc],
             passes=passes, repeats=repeats))
 

@@ -49,3 +49,35 @@ def test_line_nlte_driver_cli(tmp_path):
     import h5py
     with h5py.File(out) as f:
         assert "source_function" in f and "convergence" in f
+
+
+def test_synthesize_driver(tmp_path):
+    """checkpoint -> disk-centre synthesis, both grids
+    (plot_utils.jl:99-140 write_top_intensity analog)."""
+    env = dict(os.environ, VRT_PLATFORM="cpu")
+    for grid, extra in (("regular", []),
+                        ("voronoi", ["--n-sites", "800"])):
+        out = str(tmp_path / f"{grid}.h5")
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "drivers", "line_nlte.py"),
+             "--grid", grid, "--eps", "5e-2", "--maxiter", "2",
+             "--nlam-bb", "5", "--nlam-bf", "3", "--quadrature", "n2",
+             "--out", out] + extra,
+            capture_output=True, text=True, env=env, timeout=400)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        sdir = str(tmp_path / f"synth_{grid}")
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "drivers", "synthesize.py"),
+             out, "--out", sdir, "--no-plots"]
+            + (["--raster", "8", "6", "6"] if grid == "voronoi" else []),
+            capture_output=True, text=True, env=env, timeout=400)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        summary = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert summary["kind"] == grid
+        I = np.load(os.path.join(sdir, f"{grid}.npy"))
+        lam = np.load(os.path.join(sdir, f"{grid}_wavelength.npy"))
+        assert I.shape[0] == len(lam) == summary["n_lambda"]
+        assert np.all(np.isfinite(I)) and I.min() >= 0
+        # line centre must be brighter than the far wing for Ly-alpha
+        assert summary["I_centre_mean"] > summary["I_wing_mean"]
+        assert 3000.0 < summary["Tb_centre_mean"] < 50000.0

@@ -3,7 +3,9 @@
 Builds an n-site irregular grid from the synthetic atmosphere, plans
 one production direction, and times the formal solution with a
 wavelength batch.  Usage:
-    python analysis/bench_voronoi.py [n_sites] [batch]
+    python analysis/bench_voronoi.py [n_sites] [batch] [order]
+order: 'layer' (default, reference parity) or 'wavefront' (exact
+upwind-DAG levels; the production ordering).
 """
 
 import os
@@ -15,7 +17,7 @@ if _ROOT not in sys.path:
     sys.path.insert(0, _ROOT)
 
 
-def main(n_sites=500_000, B=16):
+def main(n_sites=500_000, B=16, order="layer"):
     cache = os.path.join(_ROOT, ".cache", "jax")
     from voronoirt_tpu.platform import setup
     setup(x64=False, cache_dir=cache)
@@ -45,7 +47,7 @@ def main(n_sites=500_000, B=16):
     while not quad.is_up[i]:
         i += 1
     t0 = time.time()
-    plan = build_voronoi_plan(sites, quad.k[i], True)
+    plan = build_voronoi_plan(sites, quad.k[i], True, order=order)
     t_plan = time.time() - t0
 
     rng = np.random.default_rng(0)
@@ -76,7 +78,7 @@ def main(n_sites=500_000, B=16):
         else len(plan.layer_sites)
     import json
     print(json.dumps({
-        "n_sites": sites.n, "batch": B,
+        "n_sites": sites.n, "batch": B, "order": order,
         "sites*rays/s": sites.n * B / dt,
         "seconds_per_sweep": dt,
         "t_sample": t_sample, "t_tessellate": t_tess, "t_plan": t_plan,
@@ -87,4 +89,5 @@ def main(n_sites=500_000, B=16):
 
 if __name__ == "__main__":
     a = sys.argv[1:]
-    main(int(a[0]) if a else 500_000, int(a[1]) if len(a) > 1 else 16)
+    main(int(a[0]) if a else 500_000, int(a[1]) if len(a) > 1 else 16,
+         a[2] if len(a) > 2 else "layer")

@@ -1,0 +1,193 @@
+"""Production-scale Voronoi benchmark: the paper's flagship configuration.
+
+Matches the reference's production run shape (src/compare_line.jl:64-74:
+3,522,560 sites sampled from invNH_invT ~ half-res regular equivalent,
+91 wavelengths, 12-angle ul7n12 quadrature) and the do_timing harness
+(src/compare_searchlight.jl:358-490), executed end-to-end on one chip:
+
+  sample -> tessellate (native C++) -> plan all 12 directions ->
+  12-angle x chunk-lambda formal J pass (throughput metric) ->
+  one full NLTE Lambda iteration with lambda_chunk (memory proof).
+
+Records a BENCH-style JSON artifact with per-phase seconds, sweep
+throughput (sites*rays/s/chip), full-iteration wall time, and peak HBM.
+
+Usage:
+  python analysis/bench_voronoi_production.py [--n-sites N] [--chunk B]
+      [--order wavefront|layer] [--out FILE] [--skip-iteration]
+
+Default ordering is 'wavefront' (the exact upwind-DAG schedule): the
+parity 'layer' mode's exact-Gauss-Seidel scheduler is a host-side Python
+pass that does not scale to 3.5e6 sites (and truncates grazing beams,
+docs/PARITY.md item 2); wavefront is the production choice.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
+
+def mem_stats():
+    import jax
+    try:
+        s = jax.devices()[0].memory_stats() or {}
+        return {"bytes_in_use": s.get("bytes_in_use"),
+                "peak_bytes_in_use": s.get("peak_bytes_in_use")}
+    except Exception:
+        return {}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-sites", type=int, default=3_522_560)
+    ap.add_argument("--chunk", type=int, default=16,
+                    help="lambda chunk through the sweeps")
+    ap.add_argument("--nlam-bb", type=int, default=51)
+    ap.add_argument("--nlam-bf", type=int, default=20)
+    ap.add_argument("--order", default="wavefront",
+                    choices=("wavefront", "layer"))
+    ap.add_argument("--quadrature", default="ul7n12")
+    ap.add_argument("--atmos", type=int, nargs=3, default=(192, 128, 128))
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--skip-iteration", action="store_true")
+    ap.add_argument("--seed", type=int, default=2022)
+    args = ap.parse_args()
+
+    cache = os.path.join(_ROOT, ".cache", "jax")
+    from voronoirt_tpu.platform import setup
+    setup(platform=os.environ.get("VRT_PLATFORM") or None, x64=False,
+          cache_dir=cache)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from voronoirt_tpu import Config, synthetic_atmosphere
+    from voronoirt_tpu.engine import VoronoiEngine
+    from voronoirt_tpu.grid import build_sites, initialise_sites
+    from voronoirt_tpu.grid.sampling import sample_sites
+    from voronoirt_tpu.physics import lyman_alpha_line
+    from voronoirt_tpu.physics.planck import B_lambda
+    from voronoirt_tpu.solvers.sweep_voronoi import (build_slot_plan,
+                                                     sweep_voronoi)
+
+    rec = {"n_sites_requested": args.n_sites, "order": args.order,
+           "chunk": args.chunk, "quadrature": args.quadrature,
+           "device": None, "phases": {}}
+
+    nz, nx, ny = args.atmos
+    atmos = synthetic_atmosphere(nz=nz, nx=nx, ny=ny, seed=5)
+
+    t0 = time.time()
+    pos = sample_sites(atmos, args.n_sites, density="invNH_invT",
+                       seed=args.seed)
+    rec["phases"]["sample_s"] = time.time() - t0
+
+    bounds = (atmos.z[0], atmos.z[-1], atmos.x[0], atmos.x[-1],
+              atmos.y[0], atmos.y[-1])
+    t0 = time.time()
+    fields = initialise_sites(pos, atmos)
+    sites = build_sites(pos, bounds, fields)
+    rec["phases"]["tessellate_s"] = time.time() - t0
+    rec["n_sites"] = sites.n
+    rec["max_neighbours"] = int(sites.neighbours.shape[1] - 1)
+
+    cfg = Config(quadrature=args.quadrature, nlam_bb=args.nlam_bb,
+                 nlam_bf=args.nlam_bf, lambda_chunk=args.chunk,
+                 maxiter=1, voronoi_order=args.order)
+    line = lyman_alpha_line(cfg.nlam_bb, cfg.nlam_bf,
+                            jnp.asarray(sites.temperature))
+    t0 = time.time()
+    eng = VoronoiEngine(sites, line, cfg)   # builds all 12 plans
+    rec["phases"]["plan_build_12dir_s"] = time.time() - t0
+    rec["device"] = str(jax.devices()[0])
+
+    # slot-plan compile + device-geometry sizes (the memory-budget note)
+    geom_bytes = 0
+    n_slot_rows = []
+    for plan in eng.plans:
+        sp = build_slot_plan(plan, cfg.n_sweeps)
+        n_slot_rows.append(sp.n_slots)
+        for st in sp.stages:
+            geom_bytes += st.up.size * 4 + st.w.size * 4 + st.r.size * 4
+        geom_bytes += sp.slot_gather.size * 4 + sp.site_gather.size * 4
+    rec["slot_rows_per_direction"] = n_slot_rows
+    rec["plan_geometry_bytes_f32"] = int(geom_bytes)
+
+    # ---------------- formal-solution throughput (do_timing analog)
+    B = args.chunk
+    rng = np.random.default_rng(0)
+    S = jnp.asarray(rng.uniform(0.1, 1.0, (B, sites.n)), jnp.float32)
+    alpha = jnp.asarray(10.0 ** rng.uniform(-9, -5, (B, sites.n)),
+                        jnp.float32)
+    quad = eng.quad
+
+    def J_pass(S):
+        J = jnp.zeros_like(S)
+        for i in range(quad.n_angles):
+            plan = eng.plans[i]
+            if plan.up:
+                I0 = jnp.ones((B, len(plan.bc_sites)), S.dtype)
+            else:
+                I0 = jnp.zeros((B, len(plan.bc_sites)), S.dtype)
+            J = J + quad.weights[i] * sweep_voronoi(plan, S, alpha, I0,
+                                                    n_sweeps=cfg.n_sweeps)
+        return J
+
+    K = 2
+    def chained(S):
+        for _ in range(K):
+            J = J_pass(S)
+            S = 0.9 * S + 0.1 * J
+        return float(jnp.sum(S))
+
+    t0 = time.time()
+    _ = chained(S)
+    rec["phases"]["sweep_compile_s"] = time.time() - t0
+    reps = 2
+    t0 = time.time()
+    for _ in range(reps):
+        _ = chained(S)
+    dt = (time.time() - t0) / reps / K
+    rec["seconds_per_J_pass_12dir"] = dt
+    rec["sweep_throughput_sites_rays_per_s"] = (
+        sites.n * quad.n_angles * B / dt)
+    # scaled to the full 91-lambda production pass
+    rec["projected_full_J_pass_s"] = dt * (line.n_lambda / B)
+    rec["memory_after_sweep"] = mem_stats()
+
+    # ---------------- one full NLTE iteration, lambda-chunked
+    if not args.skip_iteration:
+        t0 = time.time()
+        pops = eng.lte
+        damping_lam = eng.damping_lam(pops)
+        J = eng.compute_J(eng.B0, pops, damping_lam)
+        from voronoirt_tpu.engine.lambda_iter import (_update_S,
+                                                      _rates_and_populations)
+        S_new = _update_S(line, eng.eps, J, eng.B0)
+        pops_new = _rates_and_populations(line, J, damping_lam, eng.lte,
+                                          eng.C, eng.T, eng.nH, cfg.compat)
+        # scalar readbacks synchronize through the tunnel
+        s_sum = float(jnp.sum(S_new))
+        p_sum = float(jnp.sum(pops_new))
+        rec["phases"]["nlte_iteration_s"] = time.time() - t0
+        rec["iteration_finite"] = bool(np.isfinite(s_sum)
+                                       and np.isfinite(p_sum))
+        rec["iteration_pts_rays"] = sites.n * quad.n_angles * line.n_lambda
+        rec["iteration_throughput_pts_rays_per_s"] = (
+            rec["iteration_pts_rays"] / rec["phases"]["nlte_iteration_s"])
+        rec["memory_after_iteration"] = mem_stats()
+
+    out = args.out or os.path.join(_ROOT, "BENCH_VORONOI.json")
+    with open(out, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

@@ -221,3 +221,96 @@ class TestLinearWeights:
             wlo = np.array([np.asarray(v) for v in linear_weights(lo)])
             whi = np.array([np.asarray(v) for v in linear_weights(hi)])
             assert np.allclose(wlo, whi, atol=1e-5)
+
+
+class TestH2PlusBudget:
+    """H2+ approximation bound (docs/PARITY.md deviation 1).
+
+    The Bates (1952) table is not vendorable offline; instead the H2+
+    ff+bf contribution is bounded against the total continuum over the
+    production parameter box, so even a factor-of-a-few recipe error
+    moves the continuum by <~1%.
+    """
+
+    def _box(self):
+        """LTE-consistent (T, n_e, n_h1, n_p) states over the production
+        stratification (the synthetic FAL-C-like atmosphere), not free
+        parameter corners -- cold gas at n_e = 1e21 is unphysical and
+        would dominate the bound."""
+        from voronoirt_tpu import synthetic_atmosphere
+        from voronoirt_tpu.physics import lyman_alpha_line
+        from voronoirt_tpu.physics.lte import lte_populations
+        atmos = synthetic_atmosphere(nz=48, nx=8, ny=8, seed=3)
+        T = np.asarray(atmos.temperature).ravel()
+        n_e = np.asarray(atmos.electron_density).ravel()
+        n_H = np.asarray(atmos.hydrogen_populations).ravel()
+        line = lyman_alpha_line(5, 3, jnp.asarray(T))
+        lte = np.asarray(lte_populations(line, jnp.asarray(T),
+                                         jnp.asarray(n_e),
+                                         jnp.asarray(n_H)))
+        return T, n_e, lte[:, 0] + lte[:, 1], lte[:, 2]
+
+    def test_h2plus_contribution_bounded(self):
+        """Charge-consistent states (n_p = n_e, like a real EOS): H2+
+        stays below 2% of the 500 nm continuum, so even a factor-of-a-few
+        recipe error moves the continuum by <~1%.  (Saha-INconsistent
+        states -- the synthetic atmosphere's independent n_e field can sit
+        far below its own LTE n_p -- can push the H2+ share to tens of
+        percent of a correspondingly tiny H^- continuum; documented in
+        docs/PARITY.md.)"""
+        from voronoirt_tpu.physics.opacity import (
+            alpha_absorption, alpha_scattering, h2plus_bf, h2plus_ff)
+        T, n_e, n_h1, n_p = self._box()
+        n_pc = np.minimum(n_p, n_e)        # charge-consistent proton pool
+        for lam, bound in ((121.568e-9, 0.25), (500e-9, 0.02)):
+            tot = np.asarray(
+                alpha_absorption(lam, T, n_e, n_h1, n_pc)
+                + alpha_scattering(lam, n_e, n_h1))
+            h2p = np.asarray(h2plus_ff(lam, T, n_h1, n_pc)
+                             + h2plus_bf(lam, T, n_h1, n_pc))
+            assert np.all(np.isfinite(h2p)) and np.all(h2p >= 0)
+            frac = h2p / tot
+            assert frac.max() < bound, (lam, frac.max())
+
+    def test_h2plus_negligible_vs_line_at_lya(self):
+        """At Ly-alpha the line opacity dwarfs the whole H-only continuum
+        (and H2+ with it) by >=6 orders of magnitude -- the H2+
+        approximation cannot touch the NLTE line transfer."""
+        from voronoirt_tpu.physics import lyman_alpha_line
+        from voronoirt_tpu.physics.atom import alpha_line, compute_profile
+        from voronoirt_tpu.physics.broadening import (damping,
+                                                      gamma_constant)
+        from voronoirt_tpu.physics.opacity import h2plus_bf, h2plus_ff
+        T, n_e, n_h1, n_p = self._box()
+        line = lyman_alpha_line(5, 3, jnp.asarray(T))
+        lam0 = line.lam0
+        g = gamma_constant(line, jnp.asarray(T), jnp.asarray(n_h1),
+                           jnp.asarray(n_e))
+        a = damping(g, lam0, line.dlamD)
+        prof = compute_profile(line, jnp.asarray([lam0]),
+                               jnp.asarray(a)[None],
+                               jnp.zeros_like(jnp.asarray(T)))
+        # LTE level populations stand in for the NLTE ones here
+        from voronoirt_tpu.physics.lte import lte_populations
+        lte = lte_populations(line, jnp.asarray(T), jnp.asarray(n_e),
+                              jnp.asarray(n_e * 0 + n_h1 + n_p))
+        al = np.asarray(alpha_line(line, prof, lte[..., 1],
+                                   lte[..., 0]))[0]
+        h2p = np.asarray(h2plus_ff(lam0, T, n_h1, n_p)
+                         + h2plus_bf(lam0, T, n_h1, n_p))
+        assert (h2p / al).max() < 1e-6
+
+    def test_h2plus_equilibrium_shape(self):
+        """Equilibrium decreases with T (binding) and is linear in each
+        density factor -- structural checks of the molecular Saha form."""
+        from voronoirt_tpu.physics.opacity import _h2plus_equilibrium
+        T = np.linspace(3000.0, 12000.0, 20)
+        n = np.asarray(_h2plus_equilibrium(T, 1e20, 1e16))
+        assert np.all(np.diff(n) < 0)
+        lo = np.asarray(_h2plus_equilibrium(6000.0, 1e20, 1e16))
+        assert np.allclose(
+            np.asarray(_h2plus_equilibrium(6000.0, 2e20, 1e16)), 2 * lo,
+            rtol=1e-6)
+        assert np.allclose(
+            np.asarray(_h2plus_equilibrium(6000.0, 1e20, 3e16)), 3 * lo,
+            rtol=1e-6)

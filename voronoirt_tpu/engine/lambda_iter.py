@@ -128,8 +128,15 @@ def _rates_and_populations(line, J, damping_lam, lte, C, temperature,
 
 
 def _criterion(S_new, S_old):
-    """max over lam of max |1 - S_old/S_new| (lambda_iteration.jl:299-349)."""
-    diff = jnp.max(jnp.abs(1.0 - S_old / S_new))
+    """max over lam of max |1 - S_old/S_new| (lambda_iteration.jl:299-349).
+
+    Identical to the reference where S_new != 0; cells where S_new
+    underflows to exactly 0 (float32: B_lambda at the 22.8 nm bf edge in
+    cold cells is ~1e-45) compare by absolute difference instead --
+    otherwise 0/0 = NaN would abort the float32 loop at iteration 0.
+    """
+    denom = jnp.where(S_new != 0.0, S_new, 1.0)
+    diff = jnp.max(jnp.abs(S_new - S_old) / jnp.abs(denom))
     return float(diff)
 
 

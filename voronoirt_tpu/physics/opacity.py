@@ -14,8 +14,9 @@ from the published literature:
                 table; few-percent agreement.
   hydrogenic_ff Kramers free-free with Gaunt factor (Gray 2005 eq. 8.6).
   h2plus_bf/ff  H2+ quasi-molecular opacity; documented approximation to
-                Bates (1952) -- see docs/PARITY.md.  Contributes <~1% of
-                the continuum for solar atmospheres.
+                Bates (1952) -- see docs/PARITY.md.  For charge-consistent
+                states (n_p ~ n_e) it contributes <~2% of the 500 nm
+                continuum; bounded by tests/test_physics.py TestH2PlusBudget.
   thomson       Thomson scattering off free electrons.
   rayleigh_h    Rayleigh scattering off H I (Dalgarno-style lambda^-4
                 expansion; zero below the 121.77 nm resonance edge, the
@@ -84,10 +85,10 @@ def hminus_ff(lam, T, n_h1, n_e):
     f = (_poly_log(loglam, _BB_F0)
          + _poly_log(loglam, _BB_F1) * logth
          + _poly_log(loglam, _BB_F2) * logth**2)
-    # cgs electron pressure
+    # cgs electron pressure; multiplication ordered so every float32
+    # intermediate stays in range (1e-26 * 1e2 cm->m folded first)
     p_e = (n_e * 1e-6) * 1.380649e-16 * T
-    alpha_cgs = 1e-26 * p_e * 10.0**f * (n_h1 * 1e-6)   # cm^-1
-    return alpha_cgs * 1e2
+    return (1e-24 * p_e) * 10.0**f * (n_h1 * 1e-6)
 
 
 # ----------------------------------------------------------- H- bound-free
@@ -109,20 +110,27 @@ def hminus_bf_sigma(lam):
     return s * 1e-18 * 1e-4  # 1e-18 cm^2 -> m^2
 
 
+# (h^2 / (2 pi m_e k_B))^1.5 precomputed in float64 on the host: h**2
+# ~ 4.4e-67 underflows float32 as a traced intermediate (TPU flushes
+# denormals), so the temperature-free part must be folded first.
+_LAMDB3_C = float((h**2 / (2.0 * np.pi * m_e * k_B)) ** 1.5)  # ~4.1e-22
+_CHI_HM_OVER_K = float(_CHI_HMINUS / k_B)
+
+
 def hminus_saha_factor(T, n_e):
     """LTE n(H-)/n(H I ground-ish): Saha inversion.
 
     n(H-) = n_HI * n_e * (g_H-/(2 g_HI)) Lambda^3 exp(chi/kT),
-    g(H-)=1, g(HI)=2 -> factor 1/4.
+    g(H-)=1, g(HI)=2 -> factor 1/4.  Float32-safe grouping: the thermal
+    de Broglie constant is host-folded and n_e * 4.1e-22 ~ O(1).
     """
-    lam_dB3 = (h**2 / (2.0 * np.pi * m_e * k_B * T)) ** 1.5
-    return 0.25 * n_e * lam_dB3 * jnp.exp(
-        jnp.clip(_CHI_HMINUS / (k_B * T), 0.0, 500.0))
+    return (0.25 * _LAMDB3_C) * n_e * T ** -1.5 * jnp.exp(
+        jnp.clip(_CHI_HM_OVER_K / T, 0.0, 500.0))
 
 
 def hminus_bf(lam, T, n_h1, n_e):
     """H- bound-free extinction with stimulated emission [m^-1]."""
-    stim = -jnp.expm1(-jnp.clip(h * c_0 / (lam * k_B * T), 0.0, 500.0))
+    stim = -jnp.expm1(-(h * c_0 / k_B) / (lam * T))
     return hminus_bf_sigma(lam) * hminus_saha_factor(T, n_e) * n_h1 * stim
 
 
@@ -135,17 +143,24 @@ def gaunt_ff(lam, T):
         lam * k_B * T / (h * c_0) + 0.5)
 
 
+# 3.6923e-2 / c_0^3 (host-folded): nu**3 ~ 1e46 overflows float32
+_HFF_C = float(3.6923e-2 / c_0**3)   # ~1.37e-27
+
+
 def hydrogenic_ff(nu, T, n_e, n_ion, Z=1):
     """Hydrogenic (H II) free-free extinction [m^-1].
 
     Kramers formula with stimulated-emission correction; cgs coefficient
     3.6923e8 converted to SI densities/length (3.6923e-2).
     Mirrors Transparency.jl hydrogenic_ff as called at src/radiation.jl:35.
+    Float32-safe grouping: 1/nu^3 is rewritten as lam^3/c^3 with the
+    constant paired against n_e and lam^3 against n_ion so every
+    intermediate stays in float32 range.
     """
     lam = c_0 / nu
-    stim = -jnp.expm1(-jnp.clip(h * nu / (k_B * T), 0.0, 500.0))
-    return (3.6923e-2 * Z**2 * gaunt_ff(lam, T) / jnp.sqrt(T) / nu**3
-            * n_e * n_ion * stim)
+    stim = -jnp.expm1(-(h / k_B) * nu / T)
+    return ((_HFF_C * n_e) * (lam**3 * n_ion)
+            * (Z**2 * gaunt_ff(lam, T) / jnp.sqrt(T)) * stim)
 
 
 # --------------------------------------------------------------- H2+
@@ -155,13 +170,34 @@ _H2P_D0 = 2.65 * 1.602176634e-19    # H2+ dissociation energy [J]
 _MU_HP = 0.5 * 1.6726219e-27        # reduced mass of H + p [kg]
 
 
+# (h^2/(2 pi mu k_B))^1.5 host-folded (h**2 underflows float32)
+_H2P_LAMDB3_C = float((h**2 / (2.0 * np.pi * _MU_HP * k_B)) ** 1.5)
+_H2P_D0_OVER_K = float(_H2P_D0 / k_B)
+# H2+ X^2 Sigma_g+ molecular constants (Herzberg): omega_e ~ 2297 cm^-1,
+# B_e ~ 29.8 cm^-1; hc/k_B = 1.4388 cm K
+_H2P_THETA_VIB = 2297.0 * 1.4388   # K
+_H2P_THETA_ROT = 29.8 * 1.4388     # K
+
+
 def _h2plus_equilibrium(T, n_h1, n_p):
-    """LTE n(H2+) from n(H I) * n(p) via molecular Saha (approximate)."""
-    lam_dB3 = (h**2 / (2.0 * np.pi * _MU_HP * k_B * T)) ** 1.5
-    # internal (rot-vib x electronic g=2) partition function, crude fit
-    q_int = 50.0 * (T / 6000.0)
-    boltz = jnp.exp(jnp.clip(_H2P_D0 / (k_B * T), 0.0, 500.0))
-    return n_h1 * n_p * lam_dB3 * 0.5 * q_int * boltz
+    """LTE n(H2+) from n(H I) * n(p) via molecular Saha.
+
+    Internal partition function: electronic g=2 (X^2 Sigma_g+) x
+    classical rigid rotor with homonuclear symmetry factor 2
+    (q_rot = T / (2 Theta_rot)) x harmonic oscillator
+    (q_vib = 1/(1 - exp(-Theta_vib/T))) -- standard molecular
+    statistical mechanics replacing the reference chain's tabulated
+    Bates (1952) equilibrium (the table itself is not vendorable in
+    this offline build; error budget in docs/PARITY.md).
+
+    Float32-safe grouping: n_h1 * n_p ~ 1e40 overflows float32, so the
+    de Broglie factor is paired with n_h1 first.
+    """
+    q_rot = T / (2.0 * _H2P_THETA_ROT)
+    q_vib = 1.0 / -jnp.expm1(-_H2P_THETA_VIB / T)
+    q_int = 2.0 * q_rot * q_vib
+    boltz = jnp.exp(jnp.clip(_H2P_D0_OVER_K / T, 0.0, 500.0))
+    return ((_H2P_LAMDB3_C * n_h1) * T ** -1.5) * n_p * 0.5 * q_int * boltz
 
 
 def h2plus_bf(lam, T, n_h1, n_p):
@@ -172,7 +208,7 @@ def h2plus_bf(lam, T, n_h1, n_p):
     used by the reference.
     """
     sigma = 2e-22 * jnp.exp(-((jnp.log(lam / 110e-9) / 0.25) ** 2))  # m^2
-    stim = -jnp.expm1(-jnp.clip(h * c_0 / (lam * k_B * T), 0.0, 500.0))
+    stim = -jnp.expm1(-(h * c_0 / k_B) / (lam * T))
     return _h2plus_equilibrium(T, n_h1, n_p) * sigma * stim
 
 
@@ -182,8 +218,10 @@ def h2plus_ff(lam, T, n_h1, n_p):
     Normalised to the Bates (1952) magnitude ~2e-49 m^5 per (n_H n_p) at
     1 micron, 6000 K; approximation, see docs/PARITY.md.
     """
-    coeff = 2e-49 * (lam / 1e-6) ** 3 * jnp.sqrt(6000.0 / T)
-    return coeff * n_h1 * n_p
+    # 2e-49 underflows float32 even as a denormal; split across the two
+    # density factors so every intermediate stays in range
+    return ((2e-26 * n_h1) * (1e-23 * n_p)
+            * (lam / 1e-6) ** 3 * jnp.sqrt(6000.0 / T))
 
 
 # ------------------------------------------------------------ aggregates

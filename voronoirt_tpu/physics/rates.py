@@ -76,7 +76,8 @@ def Gij(i, j, lam, temperature, lte_pops):
     lam_b = jnp.asarray(lam).reshape((-1,) + (1,) * temperature.ndim)
     n_ratio = lte_pops[..., i] / lte_pops[..., j]
     T_b = jnp.asarray(temperature)[None]
-    return n_ratio[None] * jnp.exp(-hc / (lam_b * k_B * T_b))
+    # (hc/k_B)/(lam T) grouping keeps float32 intermediates in range
+    return n_ratio[None] * jnp.exp(-(hc / k_B) / (lam_b * T_b))
 
 
 def _pair_sum(f, lam, compat):
@@ -112,10 +113,16 @@ def Rji_integral(J, sigma, G, lam, compat="reference"):
 
     R = 2 pi/(h c) * sum (sigma G lam (2 h c^2/lam^5 + J))_pairs * dlam.
     (No /1000 in the reference -- the asymmetry is intentional parity.)
+
+    Float32 safety: lam**5 ~ 6e-39 at the upper-level bf edge (22.8 nm)
+    is denormal -- TPU flushes it to zero and the Planck term becomes
+    inf (inf * G=0 -> NaN).  Evaluated in IUNIT with a log-space
+    prefactor instead; mathematically identical.
     """
     lam_b = jnp.asarray(lam).reshape((-1,) + (1,) * (J.ndim - 1))
-    planck_term = 2.0 * h * c_0**2 / lam_b**5   # SI W m^-3
-    f = sigma * G * lam_b * (planck_term + J * IUNIT_SI)
+    planck_iunit = jnp.exp(
+        float(np.log(2.0 * h * c_0**2 / IUNIT_SI)) - 5.0 * jnp.log(lam_b))
+    f = (sigma * lam_b * IUNIT_SI) * G * (planck_iunit + J)
     return 2.0 * np.pi / hc * _pair_sum(f, lam, compat)
 
 

@@ -33,11 +33,11 @@ def get_revised_populations(R, C, atom_density):
     A01 = P[(0, 1)] - P[(2, 1)]
     A10 = P[(0, 2)] - P[(1, 2)]
     A11 = P[(0, 2)] + P[(2, 0)] + P[(2, 1)]
-    b0 = atom_density * P[(0, 1)]
-    b1 = atom_density * P[(0, 2)]
 
+    # n_total is factored out of b so the Cramer numerators stay within
+    # float32 range (rate products ~1e26 * n_H ~1e23 would overflow)
     det = A00 * A11 - A01 * A10
-    n2 = (A11 * b0 - A01 * b1) / det
-    n3 = (A00 * b1 - A10 * b0) / det
+    n2 = atom_density * ((A11 * P[(0, 1)] - A01 * P[(0, 2)]) / det)
+    n3 = atom_density * ((A00 * P[(0, 2)] - A10 * P[(0, 1)]) / det)
     n1 = atom_density - n2 - n3
     return jnp.stack([n1, n2, n3], axis=-1)

@@ -135,8 +135,9 @@ def main():
                 I0 = jnp.ones((B, len(plan.bc_sites)), S.dtype)
             else:
                 I0 = jnp.zeros((B, len(plan.bc_sites)), S.dtype)
-            J = J + quad.weights[i] * sweep_voronoi(plan, S, alpha, I0,
-                                                    n_sweeps=cfg.n_sweeps)
+            J = J + quad.weights[i] * sweep_voronoi(
+                plan, S, alpha, I0, n_sweeps=cfg.n_sweeps,
+                relax_tol=cfg.voronoi_relax_tol)
         return J
 
     K = 2

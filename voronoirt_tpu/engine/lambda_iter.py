@@ -380,7 +380,8 @@ class VoronoiEngine:
                     I0 = jnp.zeros((lam_c.shape[0],
                                     len(plan.bc_sites)), S.dtype)
                 I = sweep_voronoi(plan, S_c, a_tot, I0,
-                                  n_sweeps=self.cfg.n_sweeps)
+                                  n_sweeps=self.cfg.n_sweeps,
+                                  relax_tol=self.cfg.voronoi_relax_tol)
                 Iw = quad.weights[i] * I
                 if devs:
                     _ang.partial_accumulate(partials, d, Iw)

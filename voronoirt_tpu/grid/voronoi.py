@@ -403,15 +403,32 @@ def build_voronoi_plan(sites: VoronoiSites, k, up, p=7.0,
     exact_levels = None
     use_exact = False
     if n_res:
+        # Within a level all updates are independent (deps point to
+        # strictly earlier levels), so levels wider than a cap can split
+        # into several schedule rows without changing the result.  The
+        # cap bounds the padded cost at ~n_res + n_rows*(cap-1) instead
+        # of Lx * max-width, which keeps the exact schedule viable for
+        # ragged level-size distributions (it also sets the sweep's
+        # per-scan-step width, so it is lane-aligned).  Mean width
+        # rounded up to a multiple of 128.
         Lx = int(lev[resolved].max())
-        wx = np.bincount(lev[resolved], minlength=Lx + 1)
-        Wx = int(wx[1:].max())
-        use_exact = Lx * Wx <= n_sweeps * n_res
+        wx = np.bincount(lev[resolved], minlength=Lx + 1)[1:]
+        cap = int(-(-max(n_res // max(Lx, 1), 1) // 128)) * 128
+        n_rows = int(np.sum(-(-wx // cap)))
+        use_exact = n_rows * cap <= n_sweeps * n_res
         if use_exact:
-            exact_levels = np.full((Lx, Wx), n, dtype=np.int32)
-            for l in range(1, Lx + 1):
-                ids = np.nonzero(lev == l)[0]
-                exact_levels[l - 1, :len(ids)] = ids
+            order_ids = np.argsort(lev[resolved], kind="stable")
+            ids_sorted = np.nonzero(resolved)[0][order_ids]
+            exact_levels = np.full((n_rows, cap), n, dtype=np.int32)
+            row = 0
+            start = 0
+            for l in range(Lx):
+                w = int(wx[l])
+                for c in range(0, w, cap):
+                    chunk = ids_sorted[start + c:start + min(c + cap, w)]
+                    exact_levels[row, :len(chunk)] = chunk
+                    row += 1
+                start += w
 
     # everything not exactly ordered: one s-sorted bin schedule
     # (most-upwind first -- upwind sites always have larger s because

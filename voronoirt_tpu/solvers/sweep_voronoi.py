@@ -224,11 +224,21 @@ def _stage_scan(I, S_sl, a_sl, stage_xs, W, passes):
     return I
 
 
-@partial(jax.jit, static_argnames=("shapes",))
-def _sweep_slots(shapes, stage_arrays, slot_gather, site_gather,
+@partial(jax.jit, static_argnames=("shapes", "relax_tol"))
+def _sweep_slots(shapes, relax_tol, stage_arrays, slot_gather, site_gather,
                  S, alpha, I0):
     """shapes: static tuple of (W, passes, repeats) per stage;
-    stage_arrays: per-stage (starts, up, w, r) traced arrays."""
+    stage_arrays: per-stage (starts, up, w, r) traced arrays.
+
+    relax_tol > 0 turns the global repeats of a relax stage (seam-wrap
+    sequencing, grid/voronoi.py) into an adaptive while loop that exits
+    once the relative sup-change of a repeat drops below relax_tol: with
+    real opacity the wrap contribution attenuates by e^-tau per lap and
+    1-2 repeats converge, while the zero-opacity searchlight fixture
+    (the case the repeat count is calibrated for) keeps moving the beam
+    every repeat and runs the full count.  relax_tol == 0 reproduces the
+    fixed-count behaviour bitwise.
+    """
     B, n = S.shape
     n_slots = slot_gather.shape[0]
 
@@ -244,15 +254,30 @@ def _sweep_slots(shapes, stage_arrays, slot_gather, site_gather,
     for (W, passes, repeats), xs in zip(shapes, stage_arrays):
         if repeats == 1:
             I = _stage_scan(I, S_sl, a_sl, xs, W, passes)
-        else:
+        elif not relax_tol:
             I = jax.lax.fori_loop(
                 0, repeats,
                 lambda _, I: _stage_scan(I, S_sl, a_sl, xs, W, passes), I)
+        else:
+            def body(state):
+                i, I, _ = state
+                I_new = _stage_scan(I, S_sl, a_sl, xs, W, passes)
+                diff = jnp.max(jnp.abs(I_new - I))
+                scale = jnp.maximum(jnp.max(jnp.abs(I_new)),
+                                    jnp.asarray(1e-30, I.dtype))
+                return i + 1, I_new, diff / scale
+
+            def cond(state):
+                i, _, rdiff = state
+                return jnp.logical_and(i < repeats, rdiff > relax_tol)
+
+            big = jnp.asarray(jnp.inf, I.dtype)
+            _, I, _ = jax.lax.while_loop(cond, body, (0, I, big))
 
     return jnp.take(I, site_gather, axis=0).T            # (B, n)
 
 
-def sweep_voronoi(plan, S, alpha, I0, n_sweeps=3):
+def sweep_voronoi(plan, S, alpha, I0, n_sweeps=3, relax_tol=0.0):
     """Formal solution over the irregular grid along plan.k.
 
     Args:
@@ -260,6 +285,8 @@ def sweep_voronoi(plan, S, alpha, I0, n_sweeps=3):
       S, alpha: (B, n) or (n,) source function / extinction.
       I0: (B, n_bc) or (n_bc,) boundary intensity on plan.bc_sites
           (bottom-layer sites for up sweeps: lambda_iteration.jl:99-102).
+      relax_tol: early-exit tolerance for seam-wrap relax repeats
+          ('wavefront' plans); 0 = fixed repeat count (bitwise default).
     Returns:
       I with the shape of S.
     """
@@ -269,6 +296,6 @@ def sweep_voronoi(plan, S, alpha, I0, n_sweeps=3):
     sp = build_slot_plan(plan, n_sweeps)
     shapes = tuple((st.W, st.passes, st.repeats) for st in sp.stages)
     stage_arrays, slot_gather, site_gather = _device_arrays(sp)
-    I = _sweep_slots(shapes, stage_arrays, slot_gather, site_gather,
-                     S, alpha, I0)
+    I = _sweep_slots(shapes, float(relax_tol), stage_arrays, slot_gather,
+                     site_gather, S, alpha, I0)
     return I[0] if squeeze else I

@@ -81,3 +81,26 @@ def test_synthesize_driver(tmp_path):
         # line centre must be brighter than the far wing for Ly-alpha
         assert summary["I_centre_mean"] > summary["I_wing_mean"]
         assert 3000.0 < summary["Tb_centre_mean"] < 50000.0
+
+
+def test_continuum_study_harness(tmp_path):
+    """Grid-convergence study (compare_continuum.jl:585 +
+    python/plot_LTE.py:18-52): site counts vs regular resolutions with a
+    convergence metric against the full-res regular image."""
+    env = dict(os.environ, VRT_PLATFORM="cpu")
+    out = str(tmp_path / "study")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "drivers", "continuum_study.py"),
+         "--n-sites", "2e3,2e4", "--skips", "1,2", "--out", out,
+         "--no-plots"],
+        capture_output=True, text=True, env=env, timeout=500)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    res = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert os.path.exists(os.path.join(out, "I_regular_full.npy"))
+    assert os.path.exists(os.path.join(out, "I_irregular_20000.npy"))
+    e_lo = res["voronoi"]["2000"]["rel_l1_vs_full"]
+    e_hi = res["voronoi"]["20000"]["rel_l1_vs_full"]
+    assert np.isfinite(e_lo) and np.isfinite(e_hi)
+    # 10x more sites must not be worse (noise margin 1.2x); both bounded
+    assert e_hi < max(1.2 * e_lo, 1.0) and e_hi < 0.5
+    assert res["regular"]["half"]["rel_l1_vs_full"] < 0.5

@@ -104,3 +104,46 @@ def test_continuum_study_harness(tmp_path):
     # 10x more sites must not be worse (noise margin 1.2x); both bounded
     assert e_hi < max(1.2 * e_lo, 1.0) and e_hi < 0.5
     assert res["regular"]["half"]["rel_l1_vs_full"] < 0.5
+
+
+def test_line_nlte_hdf5_data_path(tmp_path):
+    """--data HDF5 path end-to-end: Bifrost-style file with DESCENDING z
+    (axis normalization, atmosphere.jl:95-123), 5-D hydrogen_populations
+    (collapsed with [..., 0, 0], atmosphere.py:92-97) and --skip striding."""
+    import h5py
+    from voronoirt_tpu import synthetic_atmosphere
+    src = synthetic_atmosphere(nz=24, nx=12, ny=12, seed=9)
+    path = str(tmp_path / "bifrost_like.h5")
+    with h5py.File(path, "w") as f:
+        flip = (slice(None, None, -1),)           # descending z on disk
+        f["z"] = np.asarray(src.z)[::-1].reshape(-1, 1)  # (nz, 1) squeeze
+        f["x"] = np.asarray(src.x)
+        f["y"] = np.asarray(src.y)
+        for name in ("temperature", "electron_density",
+                     "velocity_z", "velocity_x", "velocity_y"):
+            f[name] = np.asarray(getattr(src, name))[flip]
+        nH = np.asarray(src.hydrogen_populations)[flip]
+        nH5 = np.zeros(nH.shape + (2, 2))
+        nH5[..., 0, 0] = nH                        # 5-D level-axes layout
+        nH5[..., 1, 1] = 1e99                      # poison the other slots
+        f["hydrogen_populations"] = nH5
+
+    out = str(tmp_path / "run.h5")
+    env = dict(os.environ, VRT_PLATFORM="cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "drivers", "line_nlte.py"),
+         "--data", path, "--skip", "2", "--grid", "regular",
+         "--eps", "5e-2", "--maxiter", "2", "--nlam-bb", "5",
+         "--nlam-bf", "3", "--quadrature", "n2", "--out", out],
+        capture_output=True, text=True, env=env, timeout=400)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["iterations"] >= 1
+    import h5py
+    with h5py.File(out) as f:
+        S = np.asarray(f["source_function"])
+        # skip=2 halves each axis (+2 periodic ghosts); z ascending again
+        assert S.shape[1:] == (12, 8, 8)
+        assert np.all(np.isfinite(S)) and S.max() < 1e30
+        z = np.asarray(f["z"])
+        assert z[0] < z[-1]

@@ -59,8 +59,11 @@ def run_study(atmos, n_sites_list, skips, out_dir, seed=1998):
     os.makedirs(out_dir, exist_ok=True)
     results = {"regular": {}, "voronoi": {}}
 
+    # the full-resolution (skip=1) image is the convergence reference for
+    # every other entry -- force it into the study even if --skips omits it
+    skips = sorted(set(skips) | {1})
     full_img = None
-    for skip in sorted(skips):
+    for skip in skips:
         a_s = strided_atmosphere(atmos, skip)
         t0 = time.time()
         img = cont.run_regular(a_s, None)

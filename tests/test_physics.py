@@ -314,3 +314,66 @@ class TestH2PlusBudget:
         assert np.allclose(
             np.asarray(_h2plus_equilibrium(6000.0, 1e20, 3e16)), 3 * lo,
             rtol=1e-6)
+
+    def test_h2plus_pool_cap(self):
+        """n(H2+) can never exceed either parent pool: a cold-cell
+        Boltzmann factor on Saha-inconsistent inputs (docs/PARITY.md
+        section 1 caveat) is capped at min(n_h1, n_p)."""
+        from voronoirt_tpu.physics.opacity import _h2plus_equilibrium
+        # pathological cold, dense, ionization-decoupled state
+        n = np.asarray(_h2plus_equilibrium(2500.0, 1e23, 1e18))
+        assert n <= 1e18 * (1 + 1e-12)
+        # and the cap is inactive for ordinary photospheric states
+        n2 = np.asarray(_h2plus_equilibrium(6000.0, 1e20, 1e16))
+        assert n2 < 1e16
+
+    def test_alpha_cont_golden(self):
+        """Pin alpha_absorption + alpha_scattering against the dedicated
+        recipe golden (analysis/regen_alpha_cont_golden.py).  The NLTE
+        chain goldens inject their stored frozen alpha_cont
+        (test_nlte_parity._inject_frozen), so this is the only test
+        that catches an accidental continuum-recipe regression; the
+        golden is regenerated only on deliberate recipe changes."""
+        from voronoirt_tpu.physics.opacity import (alpha_absorption,
+                                                   alpha_scattering)
+        fx = np.load("tests/golden/alpha_cont_golden.npz")
+        T, n_e = jnp.asarray(fx["T"]), jnp.asarray(fx["n_e"])
+        n_h1, n_p = jnp.asarray(fx["n_h1"]), jnp.asarray(fx["n_p"])
+        for i, lam in enumerate(fx["lambdas"]):
+            got_a = np.asarray(alpha_absorption(float(lam), T, n_e,
+                                                n_h1, n_p))
+            got_s = np.asarray(alpha_scattering(float(lam), n_e, n_h1))
+            np.testing.assert_allclose(got_a, fx[f"alpha_abs_{i}"],
+                                       rtol=1e-10)
+            np.testing.assert_allclose(got_s, fx[f"alpha_sca_{i}"],
+                                       rtol=1e-10)
+
+    def test_charge_inconsistency_warning(self):
+        """warn_charge_inconsistency fires (once) when n_e sits >100x
+        below the charge-consistent Saha proton density, and stays quiet
+        for consistent states."""
+        import warnings
+
+        from voronoirt_tpu.physics import opacity as op
+        T = np.full(64, 9000.0)
+        n_H = np.full(64, 1e20)
+        phi = 2.0 * ((2.0 * np.pi * op.m_e * op.k_B / op.h**2) * T) ** 1.5 \
+            * np.exp(-op._CHI_HION_OVER_K / T)
+        n_p = 0.5 * (-phi + np.sqrt(phi * phi + 4.0 * phi * n_H))
+        op._warned_charge = False
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            bad = op.warn_charge_inconsistency(T, n_p, n_H)  # consistent
+        assert bad == 0.0
+        op._warned_charge = False
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            bad = op.warn_charge_inconsistency(T, n_p / 1e4, n_H)
+        assert bad == 1.0
+        assert len(w) == 1 and "Saha" in str(w[0].message)
+        # once-only
+        with warnings.catch_warnings(record=True) as w2:
+            warnings.simplefilter("always")
+            op.warn_charge_inconsistency(T, n_p / 1e4, n_H)
+        assert len(w2) == 0
+        op._warned_charge = False

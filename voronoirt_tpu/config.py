@@ -44,9 +44,11 @@ class Config:
     # grazing-angle beams the fixed pass count truncates) with s-binned
     # relaxation only for seam-wrapping chains
     voronoi_relax_tol: float = 1e-7  # early-exit tolerance for the
-    # wavefront relax repeats: stop once a repeat changes I by less than
-    # this relative sup-norm (the repeat count is calibrated for the
-    # zero-opacity searchlight; with real opacity 1-2 repeats converge).
+    # wavefront relax repeats: stop once TWO consecutive repeats change I
+    # by less than this relative sup-norm (the repeat count is calibrated
+    # for the zero-opacity searchlight; with real opacity 1-2 repeats
+    # converge).  The two-lap streak guards against a single stalled lap
+    # truncating an unconverged low-opacity wrap chain.
     # 0 = always run the full fixed repeat count (bitwise schedule)
 
     # --- physics compat switches (SURVEY.md §7 "fidelity traps") ---

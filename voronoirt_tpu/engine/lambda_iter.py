@@ -72,6 +72,9 @@ def frozen_setup(line, temperature, electron_density, hydrogen_density,
 
     Mirrors lambda_iteration.jl:124-154 / :216-247.
     """
+    from ..physics.opacity import warn_charge_inconsistency
+    warn_charge_inconsistency(temperature, electron_density,
+                              hydrogen_density)
     lte = lte_populations(line, temperature, electron_density,
                           hydrogen_density)
     a_cont = alpha_absorption(line.lam0, temperature, electron_density,

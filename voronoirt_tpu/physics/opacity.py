@@ -197,7 +197,14 @@ def _h2plus_equilibrium(T, n_h1, n_p):
     q_vib = 1.0 / -jnp.expm1(-_H2P_THETA_VIB / T)
     q_int = 2.0 * q_rot * q_vib
     boltz = jnp.exp(jnp.clip(_H2P_D0_OVER_K / T, 0.0, 500.0))
-    return ((_H2P_LAMDB3_C * n_h1) * T ** -1.5) * n_p * 0.5 * q_int * boltz
+    n_lte = ((_H2P_LAMDB3_C * n_h1) * T ** -1.5) * n_p * 0.5 * q_int * boltz
+    # physical pool cap: each H2+ consumes one H I and one proton, so the
+    # molecule count can never exceed either parent pool.  For
+    # charge-consistent states the LTE value sits far below this; for
+    # Saha-inconsistent inputs (n_e decoupled from n_p, docs/PARITY.md
+    # section 1 caveat) the cap keeps the share bounded instead of letting
+    # a cold-cell Boltzmann factor run away.
+    return jnp.minimum(n_lte, jnp.minimum(n_h1, n_p))
 
 
 def h2plus_bf(lam, T, n_h1, n_p):
@@ -222,6 +229,45 @@ def h2plus_ff(lam, T, n_h1, n_p):
     # density factors so every intermediate stays in range
     return ((2e-26 * n_h1) * (1e-23 * n_p)
             * (lam / 1e-6) ** 3 * jnp.sqrt(6000.0 / T))
+
+
+# --------------------------------------------- charge-consistency guard
+
+_CHI_HION_OVER_K = float(h * c_0 * 109677.617e2 / k_B)  # H ionization [K]
+_warned_charge = False
+
+
+def warn_charge_inconsistency(temperature, electron_density,
+                              hydrogen_density, factor=100.0, frac=0.01):
+    """Warn (once) when n_e sits far below the pure-H Saha expectation.
+
+    The H2+ recipes assume roughly charge-consistent states (n_e ~ n_p);
+    when the loaded atmosphere's n_e is more than `factor` below the
+    self-consistent Saha proton density over more than `frac` of cells,
+    the H2+ *share* of a (tiny) continuum can reach tens of percent
+    (docs/PARITY.md section 1 caveat; the pool cap in
+    _h2plus_equilibrium bounds the absolute value).  Host-side, cheap,
+    called from engine setup.  Returns the offending cell fraction.
+    """
+    import warnings
+    T = np.asarray(temperature, dtype=np.float64).ravel()
+    n_e = np.asarray(electron_density, dtype=np.float64).ravel()
+    n_H = np.asarray(hydrogen_density, dtype=np.float64).ravel()
+    # pure-H charge-consistent Saha: n_p^2 / (n_H - n_p) = phi(T)
+    phi = 2.0 * ((2.0 * np.pi * m_e * k_B / h**2) * T) ** 1.5 \
+        * np.exp(-np.clip(_CHI_HION_OVER_K / T, None, 690.0))
+    n_p_saha = 0.5 * (-phi + np.sqrt(phi * phi + 4.0 * phi * n_H))
+    bad = float(np.mean(n_e * factor < n_p_saha))
+    global _warned_charge
+    if bad > frac and not _warned_charge:
+        _warned_charge = True
+        warnings.warn(
+            f"atmosphere n_e is >{factor:.0f}x below the charge-consistent "
+            f"Saha proton density in {100 * bad:.1f}% of cells; the H2+ "
+            "continuum recipes assume n_e ~ n_p and their share of the "
+            "continuum is unreliable there (docs/PARITY.md section 1)",
+            stacklevel=2)
+    return bad
 
 
 # ------------------------------------------------------------ aggregates

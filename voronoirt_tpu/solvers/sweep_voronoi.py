@@ -259,20 +259,23 @@ def _sweep_slots(shapes, relax_tol, stage_arrays, slot_gather, site_gather,
                 0, repeats,
                 lambda _, I: _stage_scan(I, S_sl, a_sl, xs, W, passes), I)
         else:
+            # exit only after TWO consecutive sub-tol laps: a single lap
+            # whose sup-change dips below tol on a stalled-but-unconverged
+            # low-opacity wrap chain must not truncate the schedule
             def body(state):
-                i, I, _ = state
+                i, I, streak = state
                 I_new = _stage_scan(I, S_sl, a_sl, xs, W, passes)
                 diff = jnp.max(jnp.abs(I_new - I))
                 scale = jnp.maximum(jnp.max(jnp.abs(I_new)),
                                     jnp.asarray(1e-30, I.dtype))
-                return i + 1, I_new, diff / scale
+                sub = diff / scale <= relax_tol
+                return i + 1, I_new, jnp.where(sub, streak + 1, 0)
 
             def cond(state):
-                i, _, rdiff = state
-                return jnp.logical_and(i < repeats, rdiff > relax_tol)
+                i, _, streak = state
+                return jnp.logical_and(i < repeats, streak < 2)
 
-            big = jnp.asarray(jnp.inf, I.dtype)
-            _, I, _ = jax.lax.while_loop(cond, body, (0, I, big))
+            _, I, _ = jax.lax.while_loop(cond, body, (0, I, 0))
 
     return jnp.take(I, site_gather, axis=0).T            # (B, n)
 

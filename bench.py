@@ -80,17 +80,17 @@ def main(small=False):
                 J = J + w[i] * sweep(plans[i], S, alpha, I0, n_sweeps=3)
                 continue
             S_b = jnp.concatenate(
-                [flip_field(S, fx, fy) for (_, _, (fx, fy)) in g], axis=1)
+                [flip_field(S, *f) for (_, _, f) in g], axis=1)
             a_b = jnp.concatenate(
-                [flip_field(alpha, fx, fy) for (_, _, (fx, fy)) in g],
-                axis=1)
+                [flip_field(alpha, *f) for (_, _, f) in g], axis=1)
             I0_b = jnp.concatenate(
-                [flip_field(I0, fx, fy) for (_, _, (fx, fy)) in g],
+                [flip_field(I0, fx, fy) for (_, _, (fx, fy, _)) in g],
                 axis=0)
             I_b = sweep_batched(tuple(p for (_, p, _) in g), S_b, a_b,
-                                I0_b, n_sweeps=3)
-            for e, (i, _, (fx, fy)) in enumerate(g):
-                I_e = flip_field(I_b[:, e * nlam:(e + 1) * nlam], fx, fy)
+                                I0_b, n_sweeps=3,
+                                down_flags=tuple(f[2] for (_, _, f) in g))
+            for e, (i, _, f) in enumerate(g):
+                I_e = flip_field(I_b[:, e * nlam:(e + 1) * nlam], *f)
                 J = J + w[i] * I_e
         return J
 

@@ -239,3 +239,105 @@ class TestBezierInterpolation:
         lo = min(S.min(), I0.min())
         hi = max(S.max(), I0.max())
         assert I.min() >= lo - 1e-12 and I.max() <= hi + 1e-12
+
+
+class TestZFlipBatchedGroups:
+    """Down sweeps z-flip-canonicalize into up sweeps (group_plans) and
+    batch with them in one sweep_batched call.  The merge must be EXACT:
+    the flip is an index permutation, every per-plane update is the same
+    arithmetic, and the xz-down centre quirk (characteristics.jl:794,804)
+    rides a 0/1 per-element blend."""
+
+    def _fields(self, nz, nx, ny, B, seed):
+        rng = np.random.default_rng(seed)
+        S = jnp.asarray(rng.uniform(0.1, 1.0, (nz, B, nx, ny)))
+        alpha = jnp.asarray(10.0 ** rng.uniform(-2, 1, (nz, B, nx, ny)))
+        I0_up = jnp.asarray(rng.uniform(0.5, 1.0, (B, nx, ny)))
+        I0_dn = jnp.zeros((B, nx, ny))
+        return S, alpha, I0_up, I0_dn
+
+    @pytest.mark.parametrize("theta_pair,phi", [
+        ((100.0, 80.0), 30.0),    # xy case (steep)
+        ((94.0, 86.0), 20.0),     # yz case (grazing, phi small -> x march)
+        ((95.0, 85.0), 75.0),     # xz case (grazing, phi large -> y march)
+    ])
+    def test_mixed_up_down_group_matches_per_angle(self, theta_pair, phi):
+        from voronoirt_tpu.solvers.sweep_regular import (flip_field,
+                                                         group_plans,
+                                                         sweep,
+                                                         sweep_batched)
+        nz, nx, ny, B = 12, 8, 8, 3
+        dx = 1.0 / nx
+        z = np.linspace(0.0, 1.0, nz)
+        th_up, th_dn = theta_pair
+        ks = [kvec(th_up, phi), kvec(th_dn, phi),
+              kvec(th_up, phi + 180.0), kvec(th_dn, phi + 180.0)]
+        ups = [True, False, True, False]
+        groups = group_plans(ks, ups, z, dx, dx)
+        merged = [g for g in groups if len(g) > 1]
+        assert merged, "expected up/down angles to merge on uniform z"
+        S, alpha, I0_up, I0_dn = self._fields(nz, nx, ny, B, seed=7)
+
+        for g in merged:
+            parts_S, parts_a, parts_I0 = [], [], []
+            for (i, _, (fx, fy, fz)) in g:
+                I0 = I0_dn if fz else I0_up
+                parts_S.append(flip_field(S, fx, fy, fz))
+                parts_a.append(flip_field(alpha, fx, fy, fz))
+                parts_I0.append(flip_field(I0, fx, fy))
+            I_b = sweep_batched(tuple(p for (_, p, _) in g),
+                                jnp.concatenate(parts_S, axis=1),
+                                jnp.concatenate(parts_a, axis=1),
+                                jnp.concatenate(parts_I0, axis=0),
+                                n_sweeps=3,
+                                down_flags=tuple(f[2] for (_, _, f) in g))
+            for e, (i, _, f) in enumerate(g):
+                got = np.asarray(flip_field(I_b[:, e * B:(e + 1) * B], *f))
+                from voronoirt_tpu.solvers.sweep_regular import build_plan
+                plan_i = build_plan(ks[i], z, dx, dx, ups[i])
+                I0 = I0_up if ups[i] else I0_dn
+                want = np.asarray(sweep(plan_i, S, alpha, I0, n_sweeps=3))
+                err = np.max(np.abs(got - want)
+                             / (np.abs(want) + 1e-300))
+                assert err < 1e-13, f"angle {i}: max rel err {err}"
+
+    def test_nonuniform_z_grouping_still_exact(self):
+        """Random (non-palindromic) z spacing: flipped-down signatures
+        differ from up ones, so merging may not happen -- but whatever
+        groups form must still reproduce the per-angle sweeps."""
+        from voronoirt_tpu.solvers.sweep_regular import (build_plan,
+                                                         flip_field,
+                                                         group_plans,
+                                                         sweep,
+                                                         sweep_batched)
+        rng = np.random.default_rng(11)
+        nz, nx, ny, B = 10, 8, 8, 2
+        dx = 1.0 / nx
+        z = np.concatenate([[0.0], np.cumsum(rng.uniform(0.5, 2.0, nz - 1))])
+        ks = [kvec(120.0, 40.0), kvec(60.0, 40.0),
+              kvec(120.0, 220.0), kvec(60.0, 220.0)]
+        ups = [True, False, True, False]
+        groups = group_plans(ks, ups, z, dx, dx)
+        S, alpha, I0_up, I0_dn = self._fields(nz, nx, ny, B, seed=13)
+        for g in groups:
+            if len(g) == 1:
+                continue
+            parts_S, parts_a, parts_I0 = [], [], []
+            for (i, _, (fx, fy, fz)) in g:
+                I0 = I0_dn if fz else I0_up
+                parts_S.append(flip_field(S, fx, fy, fz))
+                parts_a.append(flip_field(alpha, fx, fy, fz))
+                parts_I0.append(flip_field(I0, fx, fy))
+            I_b = sweep_batched(tuple(p for (_, p, _) in g),
+                                jnp.concatenate(parts_S, axis=1),
+                                jnp.concatenate(parts_a, axis=1),
+                                jnp.concatenate(parts_I0, axis=0),
+                                n_sweeps=3,
+                                down_flags=tuple(f[2] for (_, _, f) in g))
+            for e, (i, _, f) in enumerate(g):
+                got = np.asarray(flip_field(I_b[:, e * B:(e + 1) * B], *f))
+                plan_i = build_plan(ks[i], z, dx, dx, ups[i])
+                I0 = I0_up if ups[i] else I0_dn
+                want = np.asarray(sweep(plan_i, S, alpha, I0, n_sweeps=3))
+                err = np.max(np.abs(got - want) / (np.abs(want) + 1e-300))
+                assert err < 1e-13, f"angle {i}: max rel err {err}"

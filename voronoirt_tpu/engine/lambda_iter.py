@@ -277,26 +277,31 @@ class RegularEngine:
                 Jc = Jc + quad.weights[i] * jnp.swapaxes(I, 0, 1)
                 continue
             S_parts, a_parts, I0_parts = [], [], []
-            for (i, plan_c, (fx, fy)) in group:
+            for (i, plan_c, (fx, fy, fz)) in group:
                 k = quad.k[i]
                 v_los = line_of_sight_velocity(self.v, -k)
                 a_tot = _alpha_tot(line, lam_c, damp_c, v_los,
                                    populations, self.a_cont)
                 a_t = jnp.swapaxes(a_tot, 0, 1)
-                if plan_c.up:
+                # BC follows the ORIGINAL direction (fz = originally
+                # down, z-flip-canonicalized): up = hot bottom plane,
+                # down = dark top (lambda_iteration.jl:38-52)
+                if not fz:
                     I0 = B_lambda(lam_c[:, None, None], T_bottom[None])
                 else:
                     I0 = jnp.zeros_like(S_c[:, 0])
-                S_parts.append(flip_field(S_t, fx, fy))
-                a_parts.append(flip_field(a_t, fx, fy))
+                S_parts.append(flip_field(S_t, fx, fy, fz))
+                a_parts.append(flip_field(a_t, fx, fy, fz))
                 I0_parts.append(flip_field(I0, fx, fy))
             plans = tuple(p for (_, p, _) in group)
+            down_flags = tuple(fz for (_, _, (_, _, fz)) in group)
             I_b = sweep_batched(plans, jnp.concatenate(S_parts, axis=1),
                                 jnp.concatenate(a_parts, axis=1),
                                 jnp.concatenate(I0_parts, axis=0),
-                                n_sweeps=self.cfg.n_sweeps)
-            for e, (i, _, (fx, fy)) in enumerate(group):
-                I_e = flip_field(I_b[:, e * B:(e + 1) * B], fx, fy)
+                                n_sweeps=self.cfg.n_sweeps,
+                                down_flags=down_flags)
+            for e, (i, _, (fx, fy, fz)) in enumerate(group):
+                I_e = flip_field(I_b[:, e * B:(e + 1) * B], fx, fy, fz)
                 Jc = Jc + quad.weights[i] * jnp.swapaxes(I_e, 0, 1)
         return Jc
 

@@ -336,7 +336,12 @@ def _march_plane(plan, case, n_sweeps, w_cur, carry_I, alpha_c, alpha_p,
     """One z-plane of the yz ('x' march) or xz ('y' march) case.
 
     geom: optional dict with traced per-batch-element overrides of the
-    plan statics (f_line, r shaped (B, 1)) for angle-batched sweeps.
+    plan statics (f_line, r shaped (B, 1)) for angle-batched sweeps;
+    may carry "c_prev" (B, 1, 1) selecting per element whether the
+    centre alpha/S come from the upper plane (the xz-down quirk,
+    characteristics.jl:794,804) -- exact for 0/1 weights, which lets
+    originally-down angles batch with up angles after z-flip
+    canonicalization (group_plans).
     """
     if case == "yz":
         sign, f_line, s_base = plan.sign_x, plan.fy_line, plan.sys
@@ -358,8 +363,13 @@ def _march_plane(plan, case, n_sweeps, w_cur, carry_I, alpha_c, alpha_p,
         M = jnp.take(A, idx, axis=ax)
         return jnp.moveaxis(M, ax, 0)
 
-    centre_a = alpha_p if centre_from_upper == "prev" else alpha_c
-    centre_s = S_p if centre_from_upper == "prev" else S_c
+    if geom is not None and "c_prev" in geom:
+        cp = geom["c_prev"]
+        centre_a = cp * alpha_p + (1.0 - cp) * alpha_c
+        centre_s = cp * S_p + (1.0 - cp) * S_c
+    else:
+        centre_a = alpha_p if centre_from_upper == "prev" else alpha_c
+        centre_s = S_p if centre_from_upper == "prev" else S_c
 
     cols = (take(alpha_p, upwind), take(alpha_c, upwind),
             take(S_p, upwind), take(S_c, upwind))
@@ -558,8 +568,14 @@ def canonical_flips(k):
     return bool(k[1] < 0), bool(k[2] < 0)
 
 
-def flip_field(A, flip_x, flip_y):
-    """Reverse the trailing (x, y) axes; exact (periodic domain)."""
+def flip_field(A, flip_x, flip_y, flip_z=False):
+    """Reverse the trailing (x, y) axes; exact (periodic domain).
+
+    flip_z reverses the LEADING axis -- only meaningful for z-leading
+    field arrays (nz, ...), not boundary planes.
+    """
+    if flip_z:
+        A = jnp.flip(A, axis=0)
     if flip_x:
         A = jnp.flip(A, axis=-2)
     if flip_y:
@@ -571,18 +587,31 @@ def group_plans(ks, ups, z, dx, dy):
     """Bucket quadrature directions by canonical plan signature.
 
     Returns a list of groups; each group is a list of
-    (angle_index, canonical_plan, (flip_x, flip_y)).  Marching
+    (angle_index, canonical_plan, (flip_x, flip_y, flip_z)).  Marching
     (yz/xz) sweeps are latency-bound, so batching a group's angles
     into the wavelength axis runs them for ~the cost of one.
+
+    Down sweeps are z-flip-canonicalized into up sweeps: reversing the
+    z axis of the fields (and the dz sequence of the plan) maps a
+    down march exactly onto an up march -- plane t's upwind plane
+    t - dir becomes t + dir under the index reversal, every per-step
+    update is the same arithmetic, and the one direction-asymmetric
+    quirk (xz_down reads centre alpha/S from the upper plane,
+    characteristics.jl:794,804) is preserved per element through
+    sweep_batched's down_flags.  This halves the number of compiled
+    sweeps for symmetric quadratures (ul7n12: 6 groups -> 3).
     """
     z = np.asarray(z)
+    # z-flipped axis: ascending, with the dz sequence reversed
+    zf = z[0] + (z[-1] - z[::-1])
     groups = {}
     for i, (k, up) in enumerate(zip(ks, ups)):
         fx, fy = canonical_flips(k)
-        kc = np.array([k[0], abs(k[1]), abs(k[2])])
-        plan = build_plan(kc, z, dx, dy, bool(up))
+        fz = not bool(up)
+        kc = np.array([-abs(k[0]), abs(k[1]), abs(k[2])])
+        plan = build_plan(kc, zf if fz else z, dx, dy, True)
         sig = plan_signature(plan)
-        groups.setdefault(sig, []).append((i, plan, (fx, fy)))
+        groups.setdefault(sig, []).append((i, plan, (fx, fy, fz)))
     return list(groups.values())
 
 
@@ -593,16 +622,22 @@ def _geom_stack(vals_per_plan, B_lam, extra_dims):
     return jnp.asarray(a.reshape(a.shape + (1,) * extra_dims))
 
 
-@partial(jax.jit, static_argnames=("plans", "n_sweeps"))
-def sweep_batched(plans, S, alpha, I0, n_sweeps=3):
+@partial(jax.jit, static_argnames=("plans", "n_sweeps", "down_flags"))
+def sweep_batched(plans, S, alpha, I0, n_sweeps=3, down_flags=None):
     """One sweep for several same-signature directions at once.
 
     Args:
       plans: tuple of P canonical RegularPlans with equal
         plan_signature (from group_plans).
       S, alpha: (nz, P*B, Nx, Ny) -- the per-angle (already
-        canonically flipped) fields stacked along the batch axis.
+        canonically flipped, z-flipped for originally-down angles)
+        fields stacked along the batch axis.
       I0: (P*B, Nx, Ny) stacked boundary intensities.
+      down_flags: tuple of P bools -- which plans were originally DOWN
+        sweeps before z-flip canonicalization (group_plans' flip_z).
+        Only the xz case is direction-asymmetric (centre alpha/S from
+        the upper plane, characteristics.jl:794,804); a 0/1 per-element
+        blend keeps mixed groups exact.
     Returns:
       I: (nz, P*B, Nx, Ny); split axis 1 into P blocks and unflip to
       recover the per-angle results.  Linear interpolation only.
@@ -616,6 +651,8 @@ def sweep_batched(plans, S, alpha, I0, n_sweeps=3):
     P = len(plans)
     nz = S.shape[0]
     B_lam = S.shape[1] // P
+    if down_flags is None:
+        down_flags = tuple(not p.up for p in plans)
     planes = {}
     carry = I0
     bc_index = 0 if lead.up else nz - 1
@@ -645,7 +682,6 @@ def sweep_batched(plans, S, alpha, I0, n_sweeps=3):
 
             carry, ys = jax.lax.scan(xy_body, carry, xs)
         else:
-            centre = "prev" if (seg.case == "xz" and not lead.up) else "cur"
             if seg.case == "yz":
                 f_vals = [p.fy_line for p in plans]
                 r_vals = [p.r_x for p in plans]
@@ -658,6 +694,20 @@ def sweep_batched(plans, S, alpha, I0, n_sweeps=3):
                 "r": jnp.asarray(
                     np.repeat(np.asarray(r_vals), B_lam)[:, None]),
             }
+            # the xz centre quirk: originally-down angles read centre
+            # alpha/S from the upper plane = the prev plane in
+            # canonical (z-flipped) coordinates
+            if seg.case == "xz" and any(down_flags):
+                if all(down_flags):
+                    centre = "prev"
+                else:
+                    centre = "cur"
+                    cp = np.repeat(
+                        np.asarray(down_flags, dtype=np.float64), B_lam)
+                    geom["c_prev"] = jnp.asarray(cp[:, None, None],
+                                                 dtype=S.dtype)
+            else:
+                centre = "cur"
 
             def plane_body(carry_I, xs_t, case=seg.case, centre=centre,
                            geom=geom):

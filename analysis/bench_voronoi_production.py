@@ -16,10 +16,12 @@ Usage:
   python analysis/bench_voronoi_production.py [--n-sites N] [--chunk B]
       [--order wavefront|layer] [--out FILE] [--skip-iteration]
 
-Default ordering is 'wavefront' (the exact upwind-DAG schedule): the
-parity 'layer' mode's exact-Gauss-Seidel scheduler is a host-side Python
-pass that does not scale to 3.5e6 sites (and truncates grazing beams,
-docs/PARITY.md item 2); wavefront is the production choice.
+Default ordering is 'wavefront' (the exact upwind-DAG schedule):
+the parity 'layer' mode truncates grazing beams (docs/PARITY.md item 2),
+so wavefront is the production choice.  Since round 3 the 'layer'
+exact-Gauss-Seidel scheduler is vectorized (grid/voronoi.py
+_gs_layer_schedule) and builds 3.5e6-site plans in seconds, so
+--order layer works at production scale too.
 """
 
 import argparse

@@ -288,3 +288,49 @@ class TestGrazingWarning:
             build_voronoi_plan(sites, kvec(170.0, 30.0), up=True)
             build_voronoi_plan(sites, kvec(100.0, 30.0), up=True,
                                order="wavefront")
+
+
+class TestGsScheduleVectorized:
+    """The vectorized _gs_layer_schedule must reproduce the pure-Python
+    oracle array-for-array (same rows, same columns, same occurrence
+    targets) -- it is the parity-mode scheduler, so any deviation would
+    silently change compat='reference' results."""
+
+    @pytest.mark.parametrize("seed,theta,phi,up", [
+        (0, 160.0, 45.0, True),
+        (1, 20.0, 15.0, False),
+        (2, 95.0, 200.0, True),     # grazing: deep in-layer chains
+        (3, 120.0, 330.0, False),
+    ])
+    def test_matches_python_oracle(self, seed, theta, phi, up):
+        from voronoirt_tpu.grid.voronoi import (_gs_layer_schedule,
+                                                _gs_layer_schedule_py)
+        rng = np.random.default_rng(seed)
+        n = 800
+        pos = np.column_stack([rng.uniform(0, 1, n) for _ in range(3)])
+        sites = build_sites(pos, (0, 1, 0, 1, 0, 1), _fields(n))
+        k = kvec(theta, phi)
+        # raw ingredients exactly as build_voronoi_plan prepares them
+        import warnings as _w
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            plan = build_voronoi_plan(sites, k, up=up, order="layer")
+        layer_lists = [row[row < sites.n] for row in plan.layer_sites]
+        active = plan.weights > 0.0
+        got = _gs_layer_schedule(layer_lists, plan.upwind, active,
+                                 sites.n, 3, up)
+        want = _gs_layer_schedule_py(layer_lists, plan.upwind, active,
+                                     sites.n, 3, up)
+        assert got[0].shape == want[0].shape
+        assert np.array_equal(got[0], want[0])
+        assert np.array_equal(got[1], want[1])
+
+    def test_empty(self):
+        from voronoirt_tpu.grid.voronoi import (_gs_layer_schedule,
+                                                _gs_layer_schedule_py)
+        upwind = np.zeros((4, 2), dtype=np.int32)
+        active = np.zeros((4, 2), dtype=bool)
+        got = _gs_layer_schedule([], upwind, active, 4, 3, True)
+        want = _gs_layer_schedule_py([], upwind, active, 4, 3, True)
+        assert got[0].shape == want[0].shape == (0, 1)
+        assert got[1].shape == want[1].shape == (0, 1, 2)

@@ -148,9 +148,12 @@ class VoronoiPlan:
     # index of each upwind's target pass copy, -1 = resolve by site id
 
 
-def _gs_layer_schedule(layer_lists, upwind, active, n, n_sweeps, up):
-    """Slot rows that reproduce the reference's in-layer Gauss-Seidel
-    EXACTLY with parallel (Jacobi-read) row updates.
+def _gs_layer_schedule_py(layer_lists, upwind, active, n, n_sweeps, up):
+    """Pure-Python reference implementation of _gs_layer_schedule.
+
+    Kept as the oracle for tests/test_sweep_voronoi.py (the vectorized
+    version below must reproduce it array-for-array); the per-site dict
+    loops do not scale past ~1e5 sites.
 
     The reference iterates each BFS layer's sites in permutation order
     (ascending site id for up sweeps, descending for down,
@@ -242,6 +245,103 @@ def _gs_layer_schedule(layer_lists, upwind, active, n, n_sweeps, up):
                 else:
                     target = occ[(u, max(p - 1, 0))]  # anti dep: previous
                 up_occ[r_idx, c, rn] = target[0] * Wg + target[1]
+    return sched, up_occ
+
+
+def _gs_layer_schedule(layer_lists, upwind, active, n, n_sweeps, up):
+    """Slot rows that reproduce the reference's in-layer Gauss-Seidel
+    EXACTLY with parallel (Jacobi-read) row updates -- vectorized.
+
+    Same contract and output as _gs_layer_schedule_py (see its docstring
+    for the levelling semantics); this version replaces the per-site
+    dict loops with numpy passes so the 'layer' parity schedule builds
+    in seconds at the production 3.5e6-site scale:
+
+      * levels by scatter-max fixpoint over the in-layer edge list
+        (true deps lev(s) >= lev(u)+1, anti deps lev(u) >= lev(rdr);
+        every edge points forward in iteration order, so the fixpoint
+        converges in max-level rounds);
+      * row/col assignment by one lexsort over (layer, level, pos);
+      * occurrence targets by closed-form row arithmetic
+        (row = base[layer] + pass * D[layer] + level -- levels 0..D-1
+        are all non-empty: a site at level d needs an upwind at d-1 or
+        an earlier reader at d, which recurses to a d-1 upwind).
+    """
+    n_layers = len(layer_lists)
+    layer_of = np.full(n, -1, dtype=np.int64)
+    pos_of = np.full(n, -1, dtype=np.int64)
+    parts = []
+    for li, ids in enumerate(layer_lists):
+        ids_order = np.asarray(ids, dtype=np.int64)
+        if not up:
+            ids_order = ids_order[::-1]
+        layer_of[ids_order] = li
+        pos_of[ids_order] = np.arange(len(ids_order))
+        parts.append(ids_order)
+    if not any(len(a) for a in parts):
+        return (np.full((0, 1), n, dtype=np.int32),
+                np.full((0, 1, 2), -1, dtype=np.int64))
+    sites = np.concatenate([a for a in parts if len(a)])
+
+    # in-layer dependency edges over both upwind slots
+    s2 = np.repeat(sites, 2)
+    rn2 = np.tile(np.array([0, 1]), len(sites))
+    u2 = upwind[s2, rn2].astype(np.int64)
+    act = active[s2, rn2] & (layer_of[u2] == layer_of[s2])
+    fwd = act & (pos_of[u2] < pos_of[s2])     # true dep: u before s
+    bwd = act & (pos_of[u2] > pos_of[s2])     # anti dep: u after s
+    src = np.concatenate([u2[fwd], s2[bwd]])
+    dst = np.concatenate([s2[fwd], u2[bwd]])
+    inc = np.concatenate([np.ones(int(fwd.sum()), dtype=np.int64),
+                          np.zeros(int(bwd.sum()), dtype=np.int64)])
+
+    lev = np.zeros(n, dtype=np.int64)
+    for _ in range(len(sites) + 1):
+        new = lev.copy()
+        np.maximum.at(new, dst, lev[src] + inc)
+        if np.array_equal(new, lev):
+            break
+        lev = new
+
+    # per-layer depth and row bases (n_sweeps * D rows per layer)
+    D = np.zeros(n_layers, dtype=np.int64)
+    np.maximum.at(D, layer_of[sites], lev[sites] + 1)
+    base = np.concatenate([[0], np.cumsum(n_sweeps * D)])[:-1]
+
+    # column = rank by pos within the (layer, level) group
+    order = np.lexsort((pos_of[sites], lev[sites], layer_of[sites]))
+    ss = sites[order]
+    grp = layer_of[ss] * (lev.max() + 1) + lev[ss]
+    starts = np.nonzero(np.concatenate([[True], grp[1:] != grp[:-1]]))[0]
+    group_id = np.cumsum(np.concatenate(
+        [[0], (grp[1:] != grp[:-1]).astype(np.int64)]))
+    col = np.arange(len(ss)) - starts[group_id]
+    col_of = np.empty(n, dtype=np.int64)
+    col_of[ss] = col
+    counts = np.diff(np.concatenate([starts, [len(ss)]]))
+    Wg = int(counts.max())
+
+    n_rows = int(n_sweeps * D.sum())
+    sched = np.full((n_rows, Wg), n, dtype=np.int32)
+    up_occ = np.full((n_rows, Wg, 2), -1, dtype=np.int64)
+
+    row0 = base[layer_of[sites]] + lev[sites]          # pass-0 row of s
+    Dl = D[layer_of[sites]]
+    passes = np.arange(n_sweeps, dtype=np.int64)
+    rows_sp = row0[:, None] + passes[None, :] * Dl[:, None]
+    sched[rows_sp.ravel(),
+          np.repeat(col_of[sites], n_sweeps)] = np.repeat(sites, n_sweeps)
+
+    sel = np.nonzero(act)[0]
+    s_e, u_e, rn_e = s2[sel], u2[sel], rn2[sel]
+    true_e = pos_of[u_e] < pos_of[s_e]
+    row0_s = base[layer_of[s_e]] + lev[s_e]
+    row0_u = base[layer_of[u_e]] + lev[u_e]
+    Dl_e = D[layer_of[s_e]]
+    for p_ in range(n_sweeps):
+        pt = np.where(true_e, p_, max(p_ - 1, 0))
+        up_occ[row0_s + p_ * Dl_e, col_of[s_e], rn_e] = (
+            (row0_u + pt * Dl_e) * Wg + col_of[u_e])
     return sched, up_occ
 
 

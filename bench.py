@@ -46,7 +46,7 @@ def main(small=False):
     import numpy as np
     from voronoirt_tpu.quadrature import get_quadrature
     from voronoirt_tpu.solvers.sweep_regular import (
-        build_plan, sweep, group_plans, sweep_batched, flip_field)
+        build_plan, sweep, group_plans, sweep_batched_J, flip_field)
 
     if small:
         nz, nx, ny, nlam, K = 48, 64, 64, 4, 2
@@ -86,12 +86,13 @@ def main(small=False):
             I0_b = jnp.concatenate(
                 [flip_field(I0, fx, fy) for (_, _, (fx, fy, _)) in g],
                 axis=0)
-            I_b = sweep_batched(tuple(p for (_, p, _) in g), S_b, a_b,
-                                I0_b, n_sweeps=3,
-                                down_flags=tuple(f[2] for (_, _, f) in g))
-            for e, (i, _, f) in enumerate(g):
-                I_e = flip_field(I_b[:, e * nlam:(e + 1) * nlam], *f)
-                J = J + w[i] * I_e
+            J_up, J_dn = sweep_batched_J(
+                tuple(p for (_, p, _) in g), S_b, a_b, I0_b,
+                jnp.asarray([w[i] for (i, _, _) in g], S.dtype),
+                n_sweeps=3,
+                down_flags=tuple(f[2] for (_, _, f) in g),
+                unflips=tuple((f[0], f[1]) for (_, _, f) in g))
+            J = J + J_up + jnp.flip(J_dn, axis=0)
         return J
 
     mix = jax.jit(lambda S, J: 0.95 * S + 0.05 * J)

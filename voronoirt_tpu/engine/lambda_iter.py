@@ -46,7 +46,7 @@ from ..physics.opacity import alpha_absorption, alpha_scattering
 from ..physics.rates import calculate_R, calculate_C
 from ..physics.stateq import get_revised_populations
 from ..solvers.sweep_regular import (build_plan, sweep as sweep_regular,
-                                     group_plans, sweep_batched,
+                                     group_plans, sweep_batched_J,
                                      flip_field)
 from ..solvers.sweep_voronoi import sweep_voronoi
 
@@ -295,14 +295,19 @@ class RegularEngine:
                 I0_parts.append(flip_field(I0, fx, fy))
             plans = tuple(p for (_, p, _) in group)
             down_flags = tuple(fz for (_, _, (_, _, fz)) in group)
-            I_b = sweep_batched(plans, jnp.concatenate(S_parts, axis=1),
-                                jnp.concatenate(a_parts, axis=1),
-                                jnp.concatenate(I0_parts, axis=0),
-                                n_sweeps=self.cfg.n_sweeps,
-                                down_flags=down_flags)
-            for e, (i, _, (fx, fy, fz)) in enumerate(group):
-                I_e = flip_field(I_b[:, e * B:(e + 1) * B], fx, fy, fz)
-                Jc = Jc + quad.weights[i] * jnp.swapaxes(I_e, 0, 1)
+            # reduced emission: the weighted J contribution comes out of
+            # the sweep per plane (full P*B intensity cube never lands
+            # in HBM) -- the production grids need this headroom
+            J_up, J_dn = sweep_batched_J(
+                plans, jnp.concatenate(S_parts, axis=1),
+                jnp.concatenate(a_parts, axis=1),
+                jnp.concatenate(I0_parts, axis=0),
+                jnp.asarray([quad.weights[i] for (i, _, _) in group],
+                            S_t.dtype),
+                n_sweeps=self.cfg.n_sweeps, down_flags=down_flags,
+                unflips=tuple((fx, fy) for (_, _, (fx, fy, _)) in group))
+            I_g = J_up + jnp.flip(J_dn, axis=0)
+            Jc = Jc + jnp.swapaxes(I_g, 0, 1)
         return Jc
 
     def damping_lam(self, populations):

@@ -622,30 +622,12 @@ def _geom_stack(vals_per_plan, B_lam, extra_dims):
     return jnp.asarray(a.reshape(a.shape + (1,) * extra_dims))
 
 
-@partial(jax.jit, static_argnames=("plans", "n_sweeps", "down_flags"))
-def sweep_batched(plans, S, alpha, I0, n_sweeps=3, down_flags=None):
-    """One sweep for several same-signature directions at once.
+def _sweep_batched_impl(plans, S, alpha, I0, n_sweeps, down_flags, emit):
+    """Shared body of sweep_batched / sweep_batched_J.
 
-    Args:
-      plans: tuple of P canonical RegularPlans with equal
-        plan_signature (from group_plans).
-      S, alpha: (nz, P*B, Nx, Ny) -- the per-angle (already
-        canonically flipped, z-flipped for originally-down angles)
-        fields stacked along the batch axis.
-      I0: (P*B, Nx, Ny) stacked boundary intensities.
-      down_flags: tuple of P bools -- which plans were originally DOWN
-        sweeps before z-flip canonicalization (group_plans' flip_z).
-        Only the xz case is direction-asymmetric (centre alpha/S from
-        the upper plane, characteristics.jl:794,804); a 0/1 per-element
-        blend keeps mixed groups exact.
-    Returns:
-      I: (nz, P*B, Nx, Ny); split axis 1 into P blocks and unflip to
-      recover the per-angle results.  Linear interpolation only.
-
-    The per-direction geometry (path lengths, stencil fractions,
-    current-plane weights, line fractions) becomes traced per-element
-    arrays; the compiled program is the single-angle one with a wider
-    batch, so the latency-bound marching segments amortize P ways.
+    Runs the batched multi-angle sweep and calls emit(plane) on every
+    computed (P*B, Nx, Ny) intensity plane (and on the BC plane);
+    returns the emitted pytrees stacked along a leading z axis.
     """
     lead = plans[0]
     P = len(plans)
@@ -656,7 +638,7 @@ def sweep_batched(plans, S, alpha, I0, n_sweeps=3, down_flags=None):
     planes = {}
     carry = I0
     bc_index = 0 if lead.up else nz - 1
-    planes[bc_index] = I0
+    planes[bc_index] = emit(I0)
     dirn = 1 if lead.up else -1
 
     def plane(A, t):
@@ -678,7 +660,8 @@ def sweep_batched(plans, S, alpha, I0, n_sweeps=3, down_flags=None):
                 t, r, fx, fy = xs_t
                 step = (plane(alpha, t), plane(alpha, t - dirn),
                         plane(S, t), plane(S, t - dirn), r, fx, fy, 0.0)
-                return _xy_step(lead, carry_I, step)
+                I_new, _ = _xy_step(lead, carry_I, step)
+                return I_new, emit(I_new)
 
             carry, ys = jax.lax.scan(xy_body, carry, xs)
         else:
@@ -717,15 +700,99 @@ def sweep_batched(plans, S, alpha, I0, n_sweeps=3, down_flags=None):
                                      plane(alpha, t - dirn),
                                      plane(S, t), plane(S, t - dirn),
                                      centre, geom=geom)
-                return I_new, I_new
+                return I_new, emit(I_new)
 
             xs = (steps_t,
                   _geom_stack([s.w_cur for s in segs_p], B_lam, 1))
             carry, ys = jax.lax.scan(plane_body, carry, xs)
         for j, i in enumerate(seg.steps):
-            planes[i] = ys[j]
+            planes[i] = jax.tree.map(lambda a, j=j: a[j], ys)
 
-    return jnp.stack([planes[i] for i in range(nz)], axis=0)
+    ordered = [planes[i] for i in range(nz)]
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *ordered)
+
+
+@partial(jax.jit, static_argnames=("plans", "n_sweeps", "down_flags"))
+def sweep_batched(plans, S, alpha, I0, n_sweeps=3, down_flags=None):
+    """One sweep for several same-signature directions at once.
+
+    Args:
+      plans: tuple of P canonical RegularPlans with equal
+        plan_signature (from group_plans).
+      S, alpha: (nz, P*B, Nx, Ny) -- the per-angle (already
+        canonically flipped, z-flipped for originally-down angles)
+        fields stacked along the batch axis.
+      I0: (P*B, Nx, Ny) stacked boundary intensities.
+      down_flags: tuple of P bools -- which plans were originally DOWN
+        sweeps before z-flip canonicalization (group_plans' flip_z).
+        Only the xz case is direction-asymmetric (centre alpha/S from
+        the upper plane, characteristics.jl:794,804); a 0/1 per-element
+        blend keeps mixed groups exact.
+    Returns:
+      I: (nz, P*B, Nx, Ny); split axis 1 into P blocks and unflip to
+      recover the per-angle results.  Linear interpolation only.
+
+    The per-direction geometry (path lengths, stencil fractions,
+    current-plane weights, line fractions) becomes traced per-element
+    arrays; the compiled program is the single-angle one with a wider
+    batch, so the latency-bound marching segments amortize P ways.
+    """
+    return _sweep_batched_impl(plans, S, alpha, I0, n_sweeps, down_flags,
+                               lambda p: p)
+
+
+@partial(jax.jit,
+         static_argnames=("plans", "n_sweeps", "down_flags", "unflips"),
+         donate_argnums=(1, 2))
+def sweep_batched_J(plans, S, alpha, I0, w, n_sweeps=3, down_flags=None,
+                    unflips=None):
+    """Batched multi-angle sweep emitting the weighted J contribution.
+
+    Identical numerics to sweep_batched, but instead of materializing
+    the full (nz, P*B, Nx, Ny) intensity cube it reduces every computed
+    plane over the P angle blocks on the fly:
+
+        part[e] = w[e] * unflip_xy(I_plane[e*B:(e+1)*B])
+
+    summed separately over originally-up and originally-down angles.
+    This cuts the sweep's HBM high-water mark by ~(P-1)/P of the output
+    cube (at P = 4 angles, 192x64x256^2 f32, the full cube is 3.2 GB --
+    the difference between fitting a 16 GB chip and OOM), and the
+    donated S/alpha stacks let XLA reuse their buffers.
+
+    Args:
+      w: (P,) quadrature weights.
+      unflips: tuple of P (flip_x, flip_y) pairs undoing the canonical
+        quadrant flip of each block before accumulation.
+    Returns:
+      (J_up, J_dn): each (nz, B, Nx, Ny) in CANONICAL z order; the
+      caller adds J_up + flip_z(J_dn) into J (originally-down angles
+      were z-flipped, so their canonical plane t is physical plane
+      nz-1-t).
+    """
+    P = len(plans)
+    B_lam = S.shape[1] // P
+    if unflips is None:
+        unflips = tuple((False, False) for _ in plans)
+    if down_flags is None:
+        down_flags = tuple(not p.up for p in plans)
+
+    def emit(I_plane):
+        up_acc = None
+        dn_acc = None
+        for e in range(P):
+            blk = w[e] * flip_field(I_plane[e * B_lam:(e + 1) * B_lam],
+                                    *unflips[e])
+            if down_flags[e]:
+                dn_acc = blk if dn_acc is None else dn_acc + blk
+            else:
+                up_acc = blk if up_acc is None else up_acc + blk
+        zero = jnp.zeros_like(I_plane[:B_lam])
+        return (up_acc if up_acc is not None else zero,
+                dn_acc if dn_acc is not None else zero)
+
+    return _sweep_batched_impl(plans, S, alpha, I0, n_sweeps, down_flags,
+                               emit)
 
 
 # ------------------------------------------------------------ public API

@@ -24,6 +24,7 @@ throughput is 50*12*91*3.52e6/2330 = 8.2e7 grid-points*rays/s
 
 import json
 import time
+from functools import partial
 
 REF_THROUGHPUT = 8.2e7  # grid-points*rays/s, reference @ 10 threads
 
@@ -95,16 +96,23 @@ def main(small=False):
             J = J + J_up + jnp.flip(J_dn, axis=0)
         return J
 
-    mix = jax.jit(lambda S, J: 0.95 * S + 0.05 * J)
+    # One jitted step = full J pass + S mix, S donated: XLA schedules the
+    # three batched group sweeps sequentially with analyzed liveness (the
+    # eager version dispatches all groups' 3.2 GB stacks concurrently and
+    # OOMs the 16 GB chip), and the donated S buffer closes the chain.
+    @partial(jax.jit, donate_argnums=0)
+    def step(S):
+        return 0.95 * S + 0.05 * J_pass(S)
+
     total = jax.jit(lambda S: jnp.sum(S))
 
     def chained(S):
         # async dispatch of K dependency-chained passes; a single scalar
         # readback at the end synchronizes the whole chain (per-call
         # block_until_ready does not synchronize through the tunnel).
+        S = jnp.copy(S)        # step donates its input; keep S0 alive
         for _ in range(K):
-            J = J_pass(S)
-            S = mix(S, J)
+            S = step(S)
         return float(total(S))
 
     # round-trip latency of a null readback

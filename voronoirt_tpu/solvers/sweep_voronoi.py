@@ -183,14 +183,20 @@ def _device_arrays(sp):
     costs more than the sweep itself)."""
     cache = getattr(sp, "_dev_cache", None)
     if cache is None:
-        stage_arrays = tuple(
-            (jnp.asarray(st.base + np.arange(st.L, dtype=np.int32) * st.W),
-             jnp.asarray(st.up),
-             jnp.asarray(st.w),
-             jnp.asarray(st.r))
-            for st in sp.stages)
-        cache = (stage_arrays, jnp.asarray(sp.slot_gather),
-                 jnp.asarray(sp.site_gather))
+        # ensure_compile_time_eval: the cache must hold REAL device
+        # arrays even when the first sweep_voronoi call happens inside
+        # an outer jit trace (otherwise tracers leak into the cache and
+        # poison every later call)
+        with jax.ensure_compile_time_eval():
+            stage_arrays = tuple(
+                (jnp.asarray(st.base
+                             + np.arange(st.L, dtype=np.int32) * st.W),
+                 jnp.asarray(st.up),
+                 jnp.asarray(st.w),
+                 jnp.asarray(st.r))
+                for st in sp.stages)
+            cache = (stage_arrays, jnp.asarray(sp.slot_gather),
+                     jnp.asarray(sp.site_gather))
         object.__setattr__(sp, "_dev_cache", cache)
     return cache
 

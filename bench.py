@@ -24,7 +24,6 @@ throughput is 50*12*91*3.52e6/2330 = 8.2e7 grid-points*rays/s
 
 import json
 import time
-from functools import partial
 
 REF_THROUGHPUT = 8.2e7  # grid-points*rays/s, reference @ 10 threads
 
@@ -47,7 +46,7 @@ def main(small=False):
     import numpy as np
     from voronoirt_tpu.quadrature import get_quadrature
     from voronoirt_tpu.solvers.sweep_regular import (
-        build_plan, sweep, group_plans, sweep_batched_J, flip_field)
+        build_plan, sweep, group_plans, sweep_group_J)
 
     if small:
         nz, nx, ny, nlam, K = 48, 64, 64, 4, 2
@@ -74,45 +73,33 @@ def main(small=False):
     w = [float(v) for v in quad.weights]
 
     def J_pass(S):
+        # sweep_group_J keeps each group's flip/stack/sweep inside one
+        # jit, so per-group working sets (3.2 GB stacks at 4-angle
+        # groups) are XLA temporaries allocated at execution -- eagerly
+        # chaining the groups never holds more than one set.
         J = jnp.zeros_like(S)
         for g in groups:
             if len(g) == 1:
                 (i, _, _) = g[0]
                 J = J + w[i] * sweep(plans[i], S, alpha, I0, n_sweeps=3)
                 continue
-            S_b = jnp.concatenate(
-                [flip_field(S, *f) for (_, _, f) in g], axis=1)
-            a_b = jnp.concatenate(
-                [flip_field(alpha, *f) for (_, _, f) in g], axis=1)
-            I0_b = jnp.concatenate(
-                [flip_field(I0, fx, fy) for (_, _, (fx, fy, _)) in g],
-                axis=0)
-            J_up, J_dn = sweep_batched_J(
-                tuple(p for (_, p, _) in g), S_b, a_b, I0_b,
+            J = J + sweep_group_J(
+                tuple(p for (_, p, _) in g), S,
+                tuple(alpha for _ in g), tuple(I0 for _ in g),
                 jnp.asarray([w[i] for (i, _, _) in g], S.dtype),
-                n_sweeps=3,
-                down_flags=tuple(f[2] for (_, _, f) in g),
-                unflips=tuple((f[0], f[1]) for (_, _, f) in g))
-            J = J + J_up + jnp.flip(J_dn, axis=0)
+                n_sweeps=3, flips=tuple(f for (_, _, f) in g))
         return J
 
-    # One jitted step = full J pass + S mix, S donated: XLA schedules the
-    # three batched group sweeps sequentially with analyzed liveness (the
-    # eager version dispatches all groups' 3.2 GB stacks concurrently and
-    # OOMs the 16 GB chip), and the donated S buffer closes the chain.
-    @partial(jax.jit, donate_argnums=0)
-    def step(S):
-        return 0.95 * S + 0.05 * J_pass(S)
-
+    mix = jax.jit(lambda S, J: 0.95 * S + 0.05 * J)
     total = jax.jit(lambda S: jnp.sum(S))
 
     def chained(S):
         # async dispatch of K dependency-chained passes; a single scalar
         # readback at the end synchronizes the whole chain (per-call
         # block_until_ready does not synchronize through the tunnel).
-        S = jnp.copy(S)        # step donates its input; keep S0 alive
         for _ in range(K):
-            S = step(S)
+            J = J_pass(S)
+            S = mix(S, J)
         return float(total(S))
 
     # round-trip latency of a null readback

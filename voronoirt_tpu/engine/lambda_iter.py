@@ -46,7 +46,7 @@ from ..physics.opacity import alpha_absorption, alpha_scattering
 from ..physics.rates import calculate_R, calculate_C
 from ..physics.stateq import get_revised_populations
 from ..solvers.sweep_regular import (build_plan, sweep as sweep_regular,
-                                     group_plans, sweep_batched_J,
+                                     group_plans, sweep_group_J,
                                      flip_field)
 from ..solvers.sweep_voronoi import sweep_voronoi
 
@@ -276,13 +276,13 @@ class RegularEngine:
                                   n_sweeps=self.cfg.n_sweeps)
                 Jc = Jc + quad.weights[i] * jnp.swapaxes(I, 0, 1)
                 continue
-            S_parts, a_parts, I0_parts = [], [], []
+            a_list, I0_list = [], []
             for (i, plan_c, (fx, fy, fz)) in group:
                 k = quad.k[i]
                 v_los = line_of_sight_velocity(self.v, -k)
                 a_tot = _alpha_tot(line, lam_c, damp_c, v_los,
                                    populations, self.a_cont)
-                a_t = jnp.swapaxes(a_tot, 0, 1)
+                a_list.append(jnp.swapaxes(a_tot, 0, 1))
                 # BC follows the ORIGINAL direction (fz = originally
                 # down, z-flip-canonicalized): up = hot bottom plane,
                 # down = dark top (lambda_iteration.jl:38-52)
@@ -290,23 +290,18 @@ class RegularEngine:
                     I0 = B_lambda(lam_c[:, None, None], T_bottom[None])
                 else:
                     I0 = jnp.zeros_like(S_c[:, 0])
-                S_parts.append(flip_field(S_t, fx, fy, fz))
-                a_parts.append(flip_field(a_t, fx, fy, fz))
-                I0_parts.append(flip_field(I0, fx, fy))
+                I0_list.append(I0)
             plans = tuple(p for (_, p, _) in group)
-            down_flags = tuple(fz for (_, _, (_, _, fz)) in group)
-            # reduced emission: the weighted J contribution comes out of
-            # the sweep per plane (full P*B intensity cube never lands
-            # in HBM) -- the production grids need this headroom
-            J_up, J_dn = sweep_batched_J(
-                plans, jnp.concatenate(S_parts, axis=1),
-                jnp.concatenate(a_parts, axis=1),
-                jnp.concatenate(I0_parts, axis=0),
+            # flip + stack + batched sweep + weighted reduced emission
+            # all inside one jit: per-group stacks are XLA execution-time
+            # temporaries and the full P*B intensity cube never lands in
+            # HBM -- the production grids need this headroom
+            I_g = sweep_group_J(
+                plans, S_t, tuple(a_list), tuple(I0_list),
                 jnp.asarray([quad.weights[i] for (i, _, _) in group],
                             S_t.dtype),
-                n_sweeps=self.cfg.n_sweeps, down_flags=down_flags,
-                unflips=tuple((fx, fy) for (_, _, (fx, fy, _)) in group))
-            I_g = J_up + jnp.flip(J_dn, axis=0)
+                n_sweeps=self.cfg.n_sweeps,
+                flips=tuple(f for (_, _, f) in group))
             Jc = Jc + jnp.swapaxes(I_g, 0, 1)
         return Jc
 

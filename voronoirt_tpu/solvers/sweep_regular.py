@@ -795,6 +795,45 @@ def sweep_batched_J(plans, S, alpha, I0, w, n_sweeps=3, down_flags=None,
                                emit)
 
 
+@partial(jax.jit,
+         static_argnames=("plans", "n_sweeps", "flips"))
+def sweep_group_J(plans, S, a_list, I0_list, w, n_sweeps=3, flips=None):
+    """One angle group's weighted J contribution from RAW fields.
+
+    Performs the canonical flip + batch-stack + batched sweep + reduced
+    emission entirely inside one jit: the (nz, P*B, Nx, Ny) stacks and
+    every intermediate are XLA-managed temporaries allocated at
+    EXECUTION time, so eagerly dispatching several groups back-to-back
+    never holds more than one group's working set plus the persistent
+    fields (the eager stack-then-call formulation allocates all groups'
+    stacks at enqueue time under async dispatch and OOMs a 16 GB chip
+    at bench geometry).
+
+    Args:
+      S: shared source function (nz, B, Nx, Ny).
+      a_list: tuple of P per-angle extinctions, same shape as S.
+      I0_list: tuple of P per-angle boundary planes (B, Nx, Ny).
+      w: (P,) quadrature weights.
+      flips: tuple of P (flip_x, flip_y, flip_z) from group_plans.
+    Returns:
+      The group's J contribution (nz, B, Nx, Ny), physical orientation.
+    """
+    if flips is None:
+        flips = tuple((False, False, False) for _ in plans)
+    down_flags = tuple(f[2] for f in flips)
+    S_b = jnp.concatenate([flip_field(S, *f) for f in flips], axis=1)
+    a_b = jnp.concatenate([flip_field(a, *f)
+                           for a, f in zip(a_list, flips)], axis=1)
+    I0_b = jnp.concatenate([flip_field(i0, f[0], f[1])
+                            for i0, f in zip(I0_list, flips)], axis=0)
+    J_up, J_dn = sweep_batched_J(plans, S_b, a_b, I0_b, w,
+                                 n_sweeps=n_sweeps,
+                                 down_flags=down_flags,
+                                 unflips=tuple((f[0], f[1])
+                                               for f in flips))
+    return J_up + jnp.flip(J_dn, axis=0)
+
+
 # ------------------------------------------------------------ public API
 
 def short_characteristics(k, S, alpha, I0, z, dx, dy, up, n_sweeps=3,

@@ -263,30 +263,47 @@ def _march_step(r, f_line, s_base, n_sweeps, w_cur, cols, centre_cols,
     with the line buffer carrying the previously computed line
     (reference's I_upper/I_lower), zero-initialised once and kept
     across the n_sweeps passes.
+
+    Per column c the update is affine in the line buffer:
+
+      i_new(c) = ew*(wp*LI(i_pw) ) + aw*s_up + bw*s_c0   [pass-invariant]
+               + (ew*wc) * LI(buf)                       [per pass]
+
+    so the invariant part (`const`, one exp evaluation) and the buffer
+    coefficient (`coeff`) are computed ONCE as whole-plane vectorized
+    ops, and each Gauss-Seidel pass streams just those two arrays --
+    instead of re-reading seven plane arrays and re-evaluating
+    linear_weights n_sweeps times.  Same math regrouped (distributive);
+    equal to the oracle at the usual 1e-12.
     """
     alpha_pw, alpha_cw, S_pw, S_cw = cols
     alpha_c0, S_c0 = centre_cols
     r = jnp.asarray(r)          # scalar, or (B, 1) for batched angles
     f_line = jnp.asarray(f_line)
+    n_cols = alpha_pw.shape[0]
+    # scalar, or (B, 1) for batched angles -- trailing-aligned broadcast
+    # against the (N, B, M) plane arrays puts it per batch element,
+    # constant over columns, exactly like the per-column old formulation
+    wcb = jnp.asarray(w_cur)
+    wp = 1.0 - wcb
+
+    def LI(A):
+        return _line_interp(A, s_base, f_line)
+
+    # pass-invariant plane-wide precompute (single exp evaluation)
+    a_up = wp * LI(alpha_pw) + wcb * LI(alpha_cw)
+    dtau = r * (alpha_c0 + a_up) * 0.5
+    aw, bw, ew = linear_weights(dtau)
+    s_up = wp * LI(S_pw) + wcb * LI(S_cw)
+    const = ew * (wp * LI(I_prev_cols)) + aw * s_up + bw * S_c0
+    coeff = ew * wcb
 
     def line_body(buf, xs):
-        a_pw, a_cw, s_pw, s_cw, i_pw, a_c0, s_c0, wc = xs
-        wp = 1.0 - wc
-        a_up = wp * _line_interp(a_pw, s_base, f_line) \
-            + wc * _line_interp(a_cw, s_base, f_line)
-        dtau = r * (a_c0 + a_up) * 0.5
-        aw, bw, ew = linear_weights(dtau)
-        s_up = wp * _line_interp(s_pw, s_base, f_line) \
-            + wc * _line_interp(s_cw, s_base, f_line)
-        i_up = wp * _line_interp(i_pw, s_base, f_line) \
-            + wc * _line_interp(buf, s_base, f_line)
-        i_new = ew * i_up + aw * s_up + bw * s_c0
+        coeff_c, const_c = xs
+        i_new = coeff_c * _line_interp(buf, s_base, f_line) + const_c
         return i_new, i_new
 
-    n_cols = alpha_pw.shape[0]
-    w = jnp.asarray(w_cur)      # scalar, or (B, 1) for batched angles
-    wc_arr = jnp.broadcast_to(w, (n_cols,) + w.shape)
-    xs = (alpha_pw, alpha_cw, S_pw, S_cw, I_prev_cols, alpha_c0, S_c0, wc_arr)
+    xs = (coeff, const)
 
     # Unroll U columns per scan step: the column chain is sequential, but
     # per-step loop overhead dominates the (B, Ny) line update, so

@@ -77,9 +77,7 @@ def main():
     from voronoirt_tpu.physics.atom import line_of_sight_velocity
     from voronoirt_tpu.physics.broadening import damping, gamma_constant
     from voronoirt_tpu.physics.planck import B_lambda
-    from voronoirt_tpu.solvers.sweep_regular import (flip_field,
-                                                     sweep_batched_J,
-                                                     sweep as sweep_one)
+    from voronoirt_tpu.solvers.sweep_regular import sweep_group_J
 
     cfg = Config(nlam_bb=args.nlam_bb, nlam_bf=args.nlam_bf,
                  quadrature="ul7n12", lambda_chunk=args.chunk)
@@ -119,37 +117,32 @@ def main():
         return damping(g_cell[None], lam_c, line.dlamD[None]).astype(dtype)
 
     def J_chunk(S_c, damp_c, lam_c):
-        """One lambda chunk of J over all 12 angles (grouped sweeps)."""
-        B = S_c.shape[0]
+        """One lambda chunk of J over all 12 angles (grouped sweeps,
+        sweep_group_J keeps each group's stacks as execution-time XLA
+        temporaries -- see the engine's _J_chunk_grouped)."""
         S_t = jnp.swapaxes(S_c, 0, 1)
         Jc = jnp.zeros_like(S_t)
         for group in eng.plan_groups:
-            parts_S, parts_a, parts_I0 = [], [], []
+            a_list, I0_list = [], []
             for (i, plan_c, (fx, fy, fz)) in group:
                 k = quad.k[i]
                 v_los = line_of_sight_velocity(eng.v, -k)
                 a_tot = _alpha_tot(line, lam_c, damp_c, v_los, pops,
                                    eng.a_cont).astype(dtype)
-                a_t = jnp.swapaxes(a_tot, 0, 1)
+                a_list.append(jnp.swapaxes(a_tot, 0, 1))
                 if not fz:
                     I0 = B_lambda(lam_c[:, None, None],
                                   eng.T[0][None]).astype(dtype)
                 else:
                     I0 = jnp.zeros_like(S_c[:, 0])
-                parts_S.append(flip_field(S_t, fx, fy, fz))
-                parts_a.append(flip_field(a_t, fx, fy, fz))
-                parts_I0.append(flip_field(I0, fx, fy))
-            J_up, J_dn = sweep_batched_J(
-                tuple(p for (_, p, _) in group),
-                jnp.concatenate(parts_S, axis=1),
-                jnp.concatenate(parts_a, axis=1),
-                jnp.concatenate(parts_I0, axis=0),
+                I0_list.append(I0)
+            Jc = Jc + sweep_group_J(
+                tuple(p for (_, p, _) in group), S_t,
+                tuple(a_list), tuple(I0_list),
                 jnp.asarray([quad.weights[i] for (i, _, _) in group],
                             dtype),
                 n_sweeps=cfg.n_sweeps,
-                down_flags=tuple(f[2] for (_, _, f) in group),
-                unflips=tuple((f[0], f[1]) for (_, _, f) in group))
-            Jc = Jc + J_up + jnp.flip(J_dn, axis=0)
+                flips=tuple(f for (_, _, f) in group))
         return jnp.swapaxes(Jc, 0, 1)
 
     # rates need damping over the bb window; recompute it INSIDE the jit
@@ -164,14 +157,38 @@ def main():
         R = calculate_R(line_, J, damp, lte, T, compat=compat)
         return get_revised_populations(R, C, nH)
 
-    def _rates(J):
-        return rates_fused(line, J, g_cell, eng.lte, eng.C, eng.T,
-                           eng.nH, cfg.compat)
+    # the rate integrals are pointwise in space: stream z-slabs so the
+    # (nlam_bb, ...) Voigt/sigma/integrand temporaries stay bounded next
+    # to the two resident 5.13 GB fields.  line carries the per-cell
+    # Doppler width, so slab-sliced line objects are built once up front
+    # (identity-hashed statics; equal-shape slabs hit the same persistent
+    # cache entry).
+    import dataclasses as _dc
+    slab = max(1, args.nz // 16)
+    slabs = [slice(z0, min(z0 + slab, args.nz))
+             for z0 in range(0, args.nz, slab)]
+    slab_lines = [_dc.replace(line, dlamD=line.dlamD[sl]) for sl in slabs]
+
+    def _rates(J, sync):
+        outs = []
+        for e, (sl, line_s) in enumerate(zip(slabs, slab_lines)):
+            outs.append(rates_fused(
+                line_s, J[:, sl], g_cell[sl], eng.lte[sl],
+                {kk: v[sl] for kk, v in eng.C.items()},
+                eng.T[sl], eng.nH[sl], cfg.compat))
+            if e % 4 == 3:
+                sync(outs[-1])     # bound in-flight J slab slices
+        return jnp.concatenate(outs, axis=0)
 
     def sync(x):
         # scalar host readback: block_until_ready does not synchronize
-        # through the axon tunnel
-        float(jnp.sum(jnp.ravel(x)[:1]))
+        # through the axon tunnel.  Also the backpressure mechanism: the
+        # TPU stream executes in enqueue order, so a readback drains
+        # every pending chunk's eager intermediates -- without it the
+        # host runs ahead, all 23 chunks' group stacks are live at once
+        # and the chip OOMs (2 x 5.13 GB fields leave ~5 GB headroom).
+        float(jnp.sum(x[(0,) * (x.ndim - 1)][:1]))  # 1-elem slice, no
+        # ravel: a reshape of a 5 GB buffer may materialize a copy
 
     # ---- warmup (compile everything once)
     t0 = time.time()
@@ -179,12 +196,14 @@ def main():
     sl = chunks[0]
     Jc = J_chunk(S_old[sl], damping_chunk(sl), lam[sl])
     J = write_chunk(J, Jc, sl.start)
+    sync(J)
     if len(chunks) > 1 and chunks[-1].stop - chunks[-1].start != \
             chunks[0].stop - chunks[0].start:
         sl = chunks[-1]
         Jc = J_chunk(S_old[sl], damping_chunk(sl), lam[sl])
         J = write_chunk(J, Jc, sl.start)
-    p_w = _rates(J)
+        sync(J)
+    p_w = _rates(J, sync)
     sync(p_w)
     del J, Jc, p_w
     rec["phases"]["compile_s"] = time.time() - t0
@@ -195,11 +214,11 @@ def main():
     for sl in chunks:
         Jc = J_chunk(S_old[sl], damping_chunk(sl), lam[sl])
         J = write_chunk(J, Jc, sl.start)
-    sync(J)
+        sync(J)               # backpressure, ~30 ms/chunk via the tunnel
     tJ = time.time() - t_iter0
 
     t0 = time.time()
-    new_pops = _rates(J)
+    new_pops = _rates(J, sync)
     sync(new_pops)
     tR = time.time() - t0
 

@@ -112,14 +112,37 @@ def main():
         return jax.lax.dynamic_update_slice(
             buf, chunk, (start,) + (0,) * (buf.ndim - 1))
 
-    def damping_chunk(sl):
-        lam_c = lam[sl].reshape((-1,) + (1,) * eng.T.ndim)
-        return damping(g_cell[None], lam_c, line.dlamD[None]).astype(dtype)
+    @partial(jax.jit, donate_argnums=0, static_argnames=("size",))
+    def s_update_chunk(buf, S_old_c, eps, start, size):
+        """One fused op: read the J chunk back out of the (donated)
+        buffer, form S_new and the criterion partial max, write S_new
+        in place.  One dispatch per chunk -- a chain of eager ops costs
+        ~40 ms EACH through the tunnel and dominated the phase."""
+        J_c = jax.lax.dynamic_slice(
+            buf, (start,) + (0,) * (buf.ndim - 1),
+            (size,) + buf.shape[1:])
+        S_new = ((1.0 - eps)[None] * J_c + eps[None] * S_old_c).astype(
+            buf.dtype)
+        denom = jnp.where(S_new != 0.0, S_new, 1.0)
+        m = jnp.max(jnp.abs(S_new - S_old_c) / jnp.abs(denom))
+        buf = jax.lax.dynamic_update_slice(
+            buf, S_new, (start,) + (0,) * (buf.ndim - 1))
+        return buf, m
 
-    def J_chunk(S_c, damp_c, lam_c):
+    @jax.jit
+    def damping_chunk(lam_c):
+        lam_b = lam_c.reshape((-1,) + (1,) * eng.T.ndim)
+        return damping(g_cell[None], lam_b, line.dlamD[None]).astype(dtype)
+
+    def J_chunk(S_c, lam_c):
         """One lambda chunk of J over all 12 angles (grouped sweeps,
         sweep_group_J keeps each group's stacks as execution-time XLA
-        temporaries -- see the engine's _J_chunk_grouped)."""
+        temporaries -- see the engine's _J_chunk_grouped).  NOT jitted
+        as a whole: the single-module HLO exceeds the remote-compile
+        tunnel's upload limit (HTTP 413), so the chunk stays a handful
+        of jitted dispatches (damping, per-angle alpha, one sweep per
+        group)."""
+        damp_c = damping_chunk(lam_c)
         S_t = jnp.swapaxes(S_c, 0, 1)
         Jc = jnp.zeros_like(S_t)
         for group in eng.plan_groups:
@@ -194,17 +217,25 @@ def main():
     t0 = time.time()
     J = jnp.zeros(S_old.shape, dtype)
     sl = chunks[0]
-    Jc = J_chunk(S_old[sl], damping_chunk(sl), lam[sl])
+    Jc = J_chunk(S_old[sl], lam[sl])
     J = write_chunk(J, Jc, sl.start)
     sync(J)
     if len(chunks) > 1 and chunks[-1].stop - chunks[-1].start != \
             chunks[0].stop - chunks[0].start:
         sl = chunks[-1]
-        Jc = J_chunk(S_old[sl], damping_chunk(sl), lam[sl])
+        Jc = J_chunk(S_old[sl], lam[sl])
         J = write_chunk(J, Jc, sl.start)
         sync(J)
     p_w = _rates(J, sync)
     sync(p_w)
+    J, m_w = s_update_chunk(J, S_old[chunks[0]], eng.eps,
+                            chunks[0].start,
+                            size=chunks[0].stop - chunks[0].start)
+    if len(chunks) > 1:
+        sl = chunks[-1]
+        J, m_w = s_update_chunk(J, S_old[sl], eng.eps, sl.start,
+                                size=sl.stop - sl.start)
+    float(m_w)
     del J, Jc, p_w
     rec["phases"]["compile_s"] = time.time() - t0
 
@@ -212,7 +243,7 @@ def main():
     t_iter0 = time.time()
     J = jnp.zeros(S_old.shape, dtype)
     for sl in chunks:
-        Jc = J_chunk(S_old[sl], damping_chunk(sl), lam[sl])
+        Jc = J_chunk(S_old[sl], lam[sl])
         J = write_chunk(J, Jc, sl.start)
         sync(J)               # backpressure, ~30 ms/chunk via the tunnel
     tJ = time.time() - t_iter0
@@ -225,12 +256,9 @@ def main():
     t0 = time.time()
     diff = 0.0
     for sl in chunks:
-        S_new_c = ((1.0 - eng.eps)[None] * J[sl]
-                   + eng.eps[None] * S_old[sl]).astype(dtype)
-        denom = jnp.where(S_new_c != 0.0, S_new_c, 1.0)
-        diff = max(diff, float(jnp.max(
-            jnp.abs(S_new_c - S_old[sl]) / jnp.abs(denom))))
-        J = write_chunk(J, S_new_c, sl.start)
+        J, m = s_update_chunk(J, S_old[sl], eng.eps, sl.start,
+                              size=sl.stop - sl.start)
+        diff = max(diff, float(m))   # scalar readback = backpressure
     tS = time.time() - t0
     t_iter = time.time() - t_iter0
 

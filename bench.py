@@ -19,7 +19,13 @@ only published numbers are full-NLTE wall time vs thread count
 The production workload is 12 angles x 91 lambda x 3.52e6 points per
 iteration; assuming ~50 Lambda iterations per run, the 10-thread
 throughput is 50*12*91*3.52e6/2330 = 8.2e7 grid-points*rays/s
-(see BASELINE.md).
+(see BASELINE.md).  That derived ratio is kept for round-over-round
+continuity; since round 3 a MEASURED restatement exists alongside:
+analysis/bench_iteration_reference_shape.py times one full Lambda
+iteration at the reference production shape (215x256x256, 91 lambda,
+ul7n12) on chip -- 16.4 s vs the reference's derived 46.6 s/iteration
+-- and its artifact (artifacts/BENCH_ITERATION.json) is surfaced here
+as vs_baseline_measured_iteration when present.
 """
 
 import json
@@ -134,6 +140,18 @@ def main(small=False):
         "compile_seconds": compile_s,
         "device": str(jax.devices()[0]),
     }
+    try:
+        import os
+        it = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "artifacts", "BENCH_ITERATION.json")
+        with open(it) as f:
+            rec = json.load(f)
+        result["measured_iteration_seconds"] = \
+            rec["iteration_seconds_measured"]
+        result["vs_baseline_measured_iteration"] = \
+            rec["vs_baseline_measured_iteration"]
+    except Exception:
+        pass
     print(json.dumps(result))
 
 

@@ -380,3 +380,117 @@ class TestGrazingWithOpacity:
         mask[plan.bc_sites] = False
         resid = np.abs(I - rhs)[mask].max() / max(np.abs(I).max(), 1e-30)
         assert resid < 1e-6, f"grazing tau~1 residual {resid:.3e}"
+
+
+class TestShapeBucketing:
+    """build_slot_plan(bucket=True), the default, pads the bc block,
+    stage (L, W) and total slot count up to a coarse power-of-two grid
+    so the 12 quadrature directions share compiled sweeps (the 442k
+    production bench spent 1341 of 1519 s in 12 per-direction
+    compiles).  Pad rows read the dummy zero slot with weight zero and
+    write zeros to pad slots, so real-site results must be BITWISE
+    identical to the unbucketed layout."""
+
+    @staticmethod
+    def _sweep(plan, S, alpha, I0, bucket, relax_tol=0.0):
+        import jax.numpy as jnp
+        from voronoirt_tpu.solvers.sweep_voronoi import (
+            _device_arrays, _sweep_slots, build_slot_plan)
+        sp = build_slot_plan(plan, 3, bucket=bucket)
+        S2 = jnp.asarray(S[None])
+        a2 = jnp.asarray(alpha[None])
+        I02 = jnp.asarray(I0[None])
+        if I02.shape[-1] < sp.n_bc:
+            I02 = jnp.pad(I02, ((0, 0), (0, sp.n_bc - I02.shape[-1])))
+        shapes = tuple((st.kind, st.W, st.passes) for st in sp.stages)
+        sa, sg, tg = _device_arrays(sp)
+        return np.asarray(
+            _sweep_slots(shapes, relax_tol, sa, sg, tg, S2, a2, I02))[0]
+
+    @pytest.mark.parametrize("order,theta", [
+        ("layer", 160.0),        # gs stage (compat exact Gauss-Seidel)
+        ("wavefront", 160.0),    # exact stage only
+        ("wavefront", 100.2),    # exact + relax (seam-wrap repeats)
+    ])
+    def test_bitwise_vs_unbucketed(self, order, theta):
+        rng = np.random.default_rng(11)
+        n = 15 ** 3
+        pos = rng.uniform(0, 1, (n, 3))
+        sites = build_sites(pos, (0, 1, 0, 1, 0, 1), _fields(n))
+        import warnings as _w
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            plan = build_voronoi_plan(sites, kvec(theta, 35.0), up=True,
+                                      order=order)
+        S = rng.uniform(0.1, 1.0, n)
+        alpha = rng.uniform(0.0, 2.0, n)
+        I0 = rng.uniform(0.0, 1.0, len(plan.bc_sites))
+        a = self._sweep(plan, S, alpha, I0, bucket=False)
+        b = self._sweep(plan, S, alpha, I0, bucket=True)
+        assert np.array_equal(a, b)          # bitwise
+
+    def test_quadrature_directions_share_signatures(self):
+        """share_plan_shapes pads every direction in a stage-structure
+        group to the group max, so the jit cache key (static shapes +
+        array shapes) is IDENTICAL within each group: the 12 ul7n12
+        directions need one compile per group instead of 12."""
+        from voronoirt_tpu.quadrature import get_quadrature
+        from voronoirt_tpu.solvers.sweep_voronoi import (
+            build_slot_plan, share_plan_shapes)
+
+        rng = np.random.default_rng(1998)
+        n = 17 ** 3
+        pos = rng.uniform(0, 1, (n, 3))
+        sites = build_sites(pos, (0, 1, 0, 1, 0, 1), _fields(n))
+        quad = get_quadrature("ul7n12")
+
+        plans = [build_voronoi_plan(sites, np.asarray(quad.k[i]),
+                                    up=bool(quad.is_up[i]),
+                                    order="wavefront")
+                 for i in range(quad.n_angles)]
+
+        def sigs():
+            out = set()
+            for plan in plans:
+                sp = build_slot_plan(plan, 3)
+                out.add((tuple((st.kind, st.L, st.W, st.passes)
+                                for st in sp.stages),
+                         sp.n_slots, sp.n_bc))
+            return out
+
+        raw = sigs()
+        # unshared: per-direction shapes differ (opportunistic
+        # bucketing collapses some but not all at this small scale)
+        share_plan_shapes(plans, 3)
+        shared = sigs()
+        structures = {tuple(st.kind for st in
+                            build_slot_plan(p, 3).stages) for p in plans}
+        assert len(shared) == len(structures)   # one compile per group
+        assert len(shared) < len(raw)
+        assert len(shared) <= 3
+
+    def test_shared_shapes_bitwise(self):
+        """Sweeps through share_plan_shapes-padded plans equal the
+        unpadded per-direction results bitwise."""
+        from voronoirt_tpu.quadrature import get_quadrature
+        from voronoirt_tpu.solvers.sweep_voronoi import share_plan_shapes
+
+        rng = np.random.default_rng(4)
+        n = 13 ** 3
+        pos = rng.uniform(0, 1, (n, 3))
+        sites = build_sites(pos, (0, 1, 0, 1, 0, 1), _fields(n))
+        quad = get_quadrature("ul2n3")
+        plans = [build_voronoi_plan(sites, np.asarray(quad.k[i]),
+                                    up=bool(quad.is_up[i]),
+                                    order="wavefront")
+                 for i in range(quad.n_angles)]
+        S = rng.uniform(0.1, 1.0, n)
+        alpha = rng.uniform(0.0, 2.0, n)
+        I0s = [rng.uniform(0.0, 1.0, len(p.bc_sites)) for p in plans]
+        before = [np.asarray(sweep_voronoi(p, S, alpha, I0))
+                  for p, I0 in zip(plans, I0s)]
+        share_plan_shapes(plans, 3)
+        after = [np.asarray(sweep_voronoi(p, S, alpha, I0))
+                 for p, I0 in zip(plans, I0s)]
+        for a, b in zip(before, after):
+            assert np.array_equal(a, b)

@@ -85,7 +85,7 @@ def lambda_continuum_voronoi(sites, line, cfg: Config, lam=500e-9,
                              eps_mask=1e-4):
     """Single-wavelength scattering iteration on the irregular grid."""
     from ..grid.voronoi import build_voronoi_plan
-    from ..solvers.sweep_voronoi import sweep_voronoi
+    from ..solvers.sweep_voronoi import share_plan_shapes, sweep_voronoi
 
     T = jnp.asarray(sites.temperature)
     a_tot, eps, B = continuum_setup(
@@ -96,6 +96,7 @@ def lambda_continuum_voronoi(sites, line, cfg: Config, lam=500e-9,
     plans = [build_voronoi_plan(sites, quad.k[i], bool(quad.is_up[i]),
                                 p=cfg.upwind_exponent, compat=cfg.compat)
              for i in range(quad.n_angles)]
+    share_plan_shapes(plans, cfg.n_sweeps)
 
     S = B
     mask = np.asarray(eps) > eps_mask

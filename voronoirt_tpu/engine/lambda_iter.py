@@ -48,7 +48,7 @@ from ..physics.stateq import get_revised_populations
 from ..solvers.sweep_regular import (build_plan, sweep as sweep_regular,
                                      group_plans, sweep_group_J,
                                      flip_field)
-from ..solvers.sweep_voronoi import sweep_voronoi
+from ..solvers.sweep_voronoi import share_plan_shapes, sweep_voronoi
 
 
 @dataclasses.dataclass
@@ -340,6 +340,9 @@ class VoronoiEngine:
             self.plans.append(build_voronoi_plan(
                 sites, k, up, p=cfg.upwind_exponent, compat=cfg.compat,
                 order=cfg.voronoi_order, n_sweeps=cfg.n_sweeps))
+        # pad per-direction slot shapes to group maxima: one compiled
+        # sweep per stage-structure group instead of one per direction
+        share_plan_shapes(self.plans, cfg.n_sweeps)
         self.T = jnp.asarray(sites.temperature)
         self.ne = jnp.asarray(sites.electron_density)
         self.nH = jnp.asarray(sites.hydrogen_populations)

@@ -65,6 +65,9 @@ class SlotStage:
     up/w/r: (L, W, 2) upwind SLOT ids / blend weights / path lengths.
     passes: Jacobi passes per level (1 for exact topological levels).
     repeats: global repeats of the stage (seam-wrapping relaxation).
+    kind: 'exact' | 'relax' | 'gs' | 'layer'.  Only 'relax' stages can
+    repeat; repeats is therefore a TRACED scalar in the device sweep so
+    directions with different repeat counts share one compiled kernel.
     """
     base: int
     L: int
@@ -74,6 +77,7 @@ class SlotStage:
     r: np.ndarray
     passes: int
     repeats: int
+    kind: str = "exact"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -86,49 +90,154 @@ class SlotPlan:
 
 
 def _schedule_stages(plan, n_sweeps):
-    """(schedule (L,W), passes, repeats) triples in execution order."""
+    """(schedule (L,W), passes, kind, repeats, occ) in execution order."""
     if getattr(plan, "exact_levels", None) is not None or \
             getattr(plan, "relax_levels", None) is not None:
         out = []
         if plan.exact_levels is not None:
-            out.append((plan.exact_levels, 1, 1))
+            out.append((plan.exact_levels, 1, "exact", 1, None))
         if plan.relax_levels is not None:
-            out.append((plan.relax_levels, 1,
-                        int(getattr(plan, "relax_repeats", 1))))
+            out.append((plan.relax_levels, 1, "relax",
+                        int(getattr(plan, "relax_repeats", 1)), None))
         return out
     if getattr(plan, "gs_levels", None) is not None:
         # exact Gauss-Seidel row order (grid/voronoi.py
         # _gs_layer_schedule): n_sweeps is already baked into the rows
-        return [(plan.gs_levels, 1, 1)]
-    return [(plan.layer_sites, n_sweeps, 1)]
+        return [(plan.gs_levels, 1, "gs", 1,
+                 getattr(plan, "gs_up_occ", None))]
+    return [(plan.layer_sites, n_sweeps, "layer", 1, None)]
 
 
-def build_slot_plan(plan, n_sweeps=3):
+def _bucket(x):
+    """Round x up on a ~1/16-relative power-of-two grid.
+
+    The 12 per-direction slot plans have nearly identical but not equal
+    stage shapes (level counts/widths spread ~1-6% across directions at
+    production scale); padding every shape up to the next point of a
+    coarse grid collapses them to ONE jit cache entry per stage kind
+    instead of 12 full Mosaic/XLA compiles (the 442k-site production
+    bench spent 1341 of 1519 s compiling).  Worst-case padding is 1/16
+    of the array (grid step = 2^(bits-4)); pad rows read the dummy zero
+    slot with weight 0 and write zeros to pad slots, so real-site
+    results are bitwise unchanged (tests/test_voronoi_sweep.py)."""
+    if x <= 8:
+        return int(x)
+    g = 1 << max(int(x).bit_length() - 4, 3)
+    return int(-(-x // g) * g)
+
+
+def share_plan_shapes(plans, n_sweeps=3):
+    """Attach common pad targets to a set of direction plans.
+
+    Directions with the same stage structure (tuple of stage kinds) are
+    grouped; every member is padded to the group's maximum per-stage
+    (L, W), bc count and slot count, so their slot plans have IDENTICAL
+    traced shapes and the whole group shares ONE `_sweep_slots` compile
+    (repeat counts are traced).  The 442k-site production bench spent
+    1341 of 1519 s in 12 per-direction compiles; with shared shapes the
+    ul7n12 quadrature needs one compile per group (typically 2: the
+    exact-only and the exact+relax directions).  Padding cost is the
+    max-vs-own shape difference (~1-2% at production scale where the
+    12 directions' schedules are near-identical in size).
+
+    Call after building all plans for a quadrature and before the first
+    sweep; sweep results are bitwise unchanged (pad rows read the dummy
+    zero slot with weight 0 and write zeros to pad slots).
+    """
+    groups = {}
+    for p in plans:
+        raw = _schedule_stages(p, n_sweeps)
+        kinds = tuple(k for _, _, k, _, _ in raw)
+        n = p.n
+        # orphan count: sites in no schedule row (and not bc) still get
+        # read-only slots, so they contribute to n_slots
+        present = np.zeros(n + 1, dtype=bool)
+        present[np.asarray(p.bc_sites, dtype=np.int64)] = True
+        for sched, *_ in raw:
+            present[np.minimum(np.asarray(sched, dtype=np.int64).reshape(-1),
+                               n)] = True
+        orphans = int(n - np.count_nonzero(present[:n]))
+        g = groups.setdefault(kinds, {"LW": [[0, 0] for _ in raw],
+                                      "n_bc": 0, "members": []})
+        for t, (sched, *_) in zip(g["LW"], raw):
+            L, W = np.asarray(sched).shape
+            t[0] = max(t[0], L)
+            t[1] = max(t[1], W)
+        g["n_bc"] = max(g["n_bc"], len(p.bc_sites))
+        g["members"].append((p, orphans))
+    for kinds, g in groups.items():
+        LW = tuple((int(L), int(W)) for L, W in g["LW"])
+        fixed = g["n_bc"] + sum(L * W for L, W in LW)
+        n_slots = max(fixed + orph for _, orph in g["members"])
+        target = (LW, int(g["n_bc"]), int(n_slots))
+        for p, _ in g["members"]:
+            object.__setattr__(p, "_pad_to", target)
+            # drop stale slot plans built before sharing
+            object.__setattr__(p, "_slot_cache", {})
+    return plans
+
+
+def build_slot_plan(plan, n_sweeps=3, bucket=True):
     """Compile the slot renumbering for one direction (host, cached).
 
     Every real site appears in exactly one schedule row (bc sites form
     slot block 0); padding entries (site id == n) map to the dummy slot
     n_slots, whose row stays zero.
+
+    Shapes entering the jit cache key -- bc block, stage (L, W), total
+    slot count -- are padded so directions share compiled sweeps:
+    exactly, to the group targets attached by `share_plan_shapes`
+    (preferred; guaranteed sharing); otherwise, with bucket=True
+    (default), up to a coarse power-of-two grid (_bucket) that collapses
+    near-equal shapes opportunistically.  Real-site results are bitwise
+    unchanged either way.
     """
+    pad_to = getattr(plan, "_pad_to", None)
     cache = getattr(plan, "_slot_cache", None)
     if cache is None:
         cache = {}
         object.__setattr__(plan, "_slot_cache", cache)
-    if n_sweeps in cache:
-        return cache[n_sweeps]
+    key = (n_sweeps, bool(bucket), pad_to)
+    if key in cache:
+        return cache[key]
 
     n = plan.n
     raw = _schedule_stages(plan, n_sweeps)
     n_bc = len(plan.bc_sites)
-    slot2site = [np.asarray(plan.bc_sites, dtype=np.int64)]
-    base = n_bc
+    if pad_to is not None:
+        n_bc_pad = pad_to[1]
+    else:
+        n_bc_pad = _bucket(n_bc) if bucket else n_bc
+    blocks = [np.asarray(plan.bc_sites, dtype=np.int64),
+              np.full(n_bc_pad - n_bc, n, dtype=np.int64)]
+    base = n_bc_pad
     metas = []
-    for sched, passes, repeats in raw:
+    staged = []
+    for si, (sched, passes, kind, repeats, occ) in enumerate(raw):
+        sched = np.asarray(sched, dtype=np.int64)
         L, W = sched.shape
-        slot2site.append(np.asarray(sched, dtype=np.int64).reshape(-1))
-        metas.append((base, L, W, passes, repeats))
+        if pad_to is not None or bucket:
+            if pad_to is not None:
+                Lp, Wp = pad_to[0][si]
+            else:
+                Lp, Wp = _bucket(L), _bucket(W)
+            if (Lp, Wp) != (L, W):
+                padded = np.full((Lp, Wp), n, dtype=np.int64)
+                padded[:L, :W] = sched
+                sched = padded
+                if occ is not None:
+                    # occ is a flat row*W + col index: remap to the
+                    # padded row stride Wp before embedding
+                    occ_p = np.full((Lp, Wp, 2), -1, dtype=occ.dtype)
+                    occ_p[:L, :W] = np.where(
+                        occ >= 0, (occ // W) * Wp + occ % W, occ)
+                    occ = occ_p
+                L, W = Lp, Wp
+        blocks.append(sched.reshape(-1))
+        staged.append((sched, occ))
+        metas.append((base, L, W, passes, kind, repeats))
         base += L * W
-    slot2site = np.concatenate(slot2site)
+    slot2site = np.concatenate(blocks)
 
     # sites absent from every schedule row (the reference's skipped last
     # perm site, unreachable layer-0 sites) still appear as UPWINDS of
@@ -142,6 +251,16 @@ def build_slot_plan(plan, n_sweeps=3):
     if orphans.size:
         slot2site = np.concatenate([slot2site, orphans])
     n_slots = len(slot2site)
+    ns_pad = n_slots
+    if pad_to is not None:
+        ns_pad = pad_to[2]
+        assert ns_pad >= n_slots, "stale _pad_to: re-run share_plan_shapes"
+    elif bucket:
+        ns_pad = _bucket(n_slots)
+    if ns_pad != n_slots:
+        slot2site = np.concatenate(
+            [slot2site, np.full(ns_pad - n_slots, n, dtype=np.int64)])
+        n_slots = ns_pad
 
     site2slot = np.full(n + 1, n_slots, dtype=np.int64)  # dummy -> zero row
     real = slot2site < n
@@ -152,28 +271,27 @@ def build_slot_plan(plan, n_sweeps=3):
     w_pad = np.concatenate([plan.weights, [[0.0, 0.0]]], axis=0)
     r_pad = np.concatenate([plan.r, [[0.0, 0.0]]], axis=0)
 
-    gs_occ = getattr(plan, "gs_up_occ", None)
     stages = []
-    for (sched, _, _), (b, L, W, passes, repeats) in zip(raw, metas):
-        sc = np.asarray(sched, dtype=np.int64)
+    for (sched, occ), (b, L, W, passes, kind, repeats) in zip(staged, metas):
+        sc = sched
         up_slots = site2slot[up_pad[sc]]                 # (L, W, 2) slots
-        if gs_occ is not None and sched is plan.gs_levels:
+        if kind == "gs" and occ is not None:
             # exact-GS stage: a site occurs once per pass; readers whose
             # upwind lives in the same layer target the occurrence of the
             # pass their value must come from (grid/voronoi.py
             # _gs_layer_schedule); -1 keeps the site-level resolution
-            up_slots = np.where(gs_occ >= 0, b + gs_occ, up_slots)
+            up_slots = np.where(occ >= 0, b + occ, up_slots)
         stages.append(SlotStage(
             base=b, L=L, W=W,
             up=up_slots.astype(np.int32),
             w=w_pad[sc], r=r_pad[sc],
-            passes=passes, repeats=repeats))
+            passes=passes, repeats=repeats, kind=kind))
 
-    sp = SlotPlan(n_slots=n_slots, n_bc=n_bc,
+    sp = SlotPlan(n_slots=n_slots, n_bc=n_bc_pad,
                   slot_gather=np.minimum(slot2site, n - 1).astype(np.int32),
                   site_gather=site2slot[:n].astype(np.int32),
                   stages=tuple(stages))
-    cache[n_sweeps] = sp
+    cache[key] = sp
     return sp
 
 
@@ -193,7 +311,8 @@ def _device_arrays(sp):
                              + np.arange(st.L, dtype=np.int32) * st.W),
                  jnp.asarray(st.up),
                  jnp.asarray(st.w),
-                 jnp.asarray(st.r))
+                 jnp.asarray(st.r),
+                 jnp.asarray(st.repeats, jnp.int32))
                 for st in sp.stages)
             cache = (stage_arrays, jnp.asarray(sp.slot_gather),
                      jnp.asarray(sp.site_gather))
@@ -233,8 +352,10 @@ def _stage_scan(I, S_sl, a_sl, stage_xs, W, passes):
 @partial(jax.jit, static_argnames=("shapes", "relax_tol"))
 def _sweep_slots(shapes, relax_tol, stage_arrays, slot_gather, site_gather,
                  S, alpha, I0):
-    """shapes: static tuple of (W, passes, repeats) per stage;
-    stage_arrays: per-stage (starts, up, w, r) traced arrays.
+    """shapes: static tuple of (kind, W, passes) per stage;
+    stage_arrays: per-stage (starts, up, w, r, repeats) traced arrays --
+    repeats is traced (not static) so directions whose relax schedules
+    differ only in repeat count share one compiled sweep.
 
     relax_tol > 0 turns the global repeats of a relax stage (seam-wrap
     sequencing, grid/voronoi.py) into an adaptive while loop that exits
@@ -257,8 +378,9 @@ def _sweep_slots(shapes, relax_tol, stage_arrays, slot_gather, site_gather,
     I = jnp.zeros((n_slots + 1, B), dtype=S.dtype)
     I = jax.lax.dynamic_update_slice(I, I0.T.astype(S.dtype), (0, 0))
 
-    for (W, passes, repeats), xs in zip(shapes, stage_arrays):
-        if repeats == 1:
+    for (kind, W, passes), (*xs, repeats) in zip(shapes, stage_arrays):
+        xs = tuple(xs)
+        if kind != "relax":
             I = _stage_scan(I, S_sl, a_sl, xs, W, passes)
         elif not relax_tol:
             I = jax.lax.fori_loop(
@@ -303,7 +425,9 @@ def sweep_voronoi(plan, S, alpha, I0, n_sweeps=3, relax_tol=0.0):
     if squeeze:
         S, alpha, I0 = S[None], alpha[None], I0[None]
     sp = build_slot_plan(plan, n_sweeps)
-    shapes = tuple((st.W, st.passes, st.repeats) for st in sp.stages)
+    if I0.shape[-1] < sp.n_bc:      # bucketed bc block: pad writes zeros
+        I0 = jnp.pad(I0, ((0, 0), (0, sp.n_bc - I0.shape[-1])))
+    shapes = tuple((st.kind, st.W, st.passes) for st in sp.stages)
     stage_arrays, slot_gather, site_gather = _device_arrays(sp)
     I = _sweep_slots(shapes, float(relax_tol), stage_arrays, slot_gather,
                      site_gather, S, alpha, I0)

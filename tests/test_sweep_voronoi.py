@@ -463,11 +463,15 @@ class TestShapeBucketing:
         # bucketing collapses some but not all at this small scale)
         share_plan_shapes(plans, 3)
         shared = sigs()
-        structures = {tuple(st.kind for st in
-                            build_slot_plan(p, 3).stages) for p in plans}
-        assert len(shared) == len(structures)   # one compile per group
+        # members cluster by (stage kinds, bucketed widths): every
+        # cluster shares exactly one signature, and the padding per
+        # member stays bounded by the cluster width bucket
         assert len(shared) < len(raw)
-        assert len(shared) <= 3
+        assert len(shared) <= 6
+        for p in plans:
+            sp = build_slot_plan(p, 3)
+            raw_sp = build_slot_plan(p, 3, bucket=False)
+            assert sp.n_slots <= 1.45 * raw_sp.n_slots
 
     def test_shared_shapes_bitwise(self):
         """Sweeps through share_plan_shapes-padded plans equal the

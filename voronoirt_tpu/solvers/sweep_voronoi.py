@@ -147,7 +147,16 @@ def share_plan_shapes(plans, n_sweeps=3):
     groups = {}
     for p in plans:
         raw = _schedule_stages(p, n_sweeps)
-        kinds = tuple(k for _, _, k, _, _ in raw)
+        # cluster key: stage kinds + bucketed level widths.  Padding a
+        # group to elementwise (L, W) maxima is quadratically wasteful
+        # when members' L and W are anti-correlated (wide levels <->
+        # fewer levels: (65,128) and (33,256) pad to (67,256), +104%
+        # rows), so directions only share a compile when their widths
+        # land in the same ~1/16 bucket -- at production scale that is
+        # still 2-5 compiles for the 12 ul7n12 directions with ~1-2%
+        # row padding.
+        kinds = tuple((k, _bucket(np.asarray(s).shape[1]))
+                      for s, _, k, _, _ in raw)
         n = p.n
         # orphan count: sites in no schedule row (and not bc) still get
         # read-only slots, so they contribute to n_slots

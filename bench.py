@@ -152,6 +152,19 @@ def main(small=False):
             rec["vs_baseline_measured_iteration"]
     except Exception:
         pass
+    try:
+        import os
+        vf = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BENCH_VORONOI.json")
+        with open(vf) as f:
+            rec = json.load(f)
+        result["voronoi_production_sites"] = rec["n_sites"]
+        result["voronoi_sweep_sites_rays_per_s"] = \
+            rec["sweep_throughput_sites_rays_per_s"]
+        result["voronoi_iteration_seconds"] = \
+            rec["phases"].get("nlte_iteration_s")
+    except Exception:
+        pass
     print(json.dumps(result))
 
 

@@ -48,8 +48,18 @@ def mem_stats():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-sites", type=int, default=3_522_560)
-    ap.add_argument("--chunk", type=int, default=16,
-                    help="lambda chunk through the sweeps")
+    ap.add_argument("--chunk", type=int, default=48,
+                    help="lambda chunk through the sweeps; the chunk is "
+                    "the slot-array LANE axis and the level scan is "
+                    "latency-bound, so wide chunks are nearly free "
+                    "(B=96 costs ~1.07x a B=16 pass at 442k sites) -- "
+                    "48 keeps the 3.5e6-site peak under ~9 GB HBM")
+    ap.add_argument("--iter-chunk", type=int, default=16,
+                    help="lambda chunk for the full-NLTE-iteration "
+                    "phase: the iteration also holds populations, "
+                    "rates and the J accumulator, so its chunk must "
+                    "stay smaller than the sweep-throughput chunk "
+                    "(48 OOMs at 3.5e6 sites where 16 fits)")
     ap.add_argument("--nlam-bb", type=int, default=51)
     ap.add_argument("--nlam-bf", type=int, default=20)
     ap.add_argument("--order", default="wavefront",
@@ -79,7 +89,8 @@ def main():
                                                      sweep_voronoi)
 
     rec = {"n_sites_requested": args.n_sites, "order": args.order,
-           "chunk": args.chunk, "quadrature": args.quadrature,
+           "chunk": args.chunk, "iter_chunk": args.iter_chunk,
+           "quadrature": args.quadrature,
            "device": None, "phases": {}}
 
     nz, nx, ny = args.atmos
@@ -100,7 +111,7 @@ def main():
     rec["max_neighbours"] = int(sites.neighbours.shape[1] - 1)
 
     cfg = Config(quadrature=args.quadrature, nlam_bb=args.nlam_bb,
-                 nlam_bf=args.nlam_bf, lambda_chunk=args.chunk,
+                 nlam_bf=args.nlam_bf, lambda_chunk=args.iter_chunk,
                  maxiter=1, voronoi_order=args.order)
     line = lyman_alpha_line(cfg.nlam_bb, cfg.nlam_bf,
                             jnp.asarray(sites.temperature))
@@ -142,6 +153,15 @@ def main():
                 relax_tol=cfg.voronoi_relax_tol)
         return J
 
+    out = args.out or os.path.join(_ROOT, "BENCH_VORONOI.json")
+
+    def save():
+        # crash-resilient: persist after every phase (an OOM in a later
+        # phase must not lose the measured ones)
+        with open(out, "w") as f:
+            json.dump(rec, f, indent=1)
+
+    save()
     K = 2
     def chained(S):
         for _ in range(K):
@@ -163,6 +183,9 @@ def main():
     # scaled to the full 91-lambda production pass
     rec["projected_full_J_pass_s"] = dt * (line.n_lambda / B)
     rec["memory_after_sweep"] = mem_stats()
+    save()
+    # release the throughput-phase operands before the iteration
+    del S, alpha
 
     # ---------------- one full NLTE iteration, lambda-chunked
     if not args.skip_iteration:

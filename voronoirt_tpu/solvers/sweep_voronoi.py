@@ -178,7 +178,7 @@ def share_plan_shapes(plans, n_sweeps=3):
         LW = tuple((int(L), int(W)) for L, W in g["LW"])
         fixed = g["n_bc"] + sum(L * W for L, W in LW)
         n_slots = max(fixed + orph for _, orph in g["members"])
-        target = (LW, int(g["n_bc"]), int(n_slots))
+        target = (LW, int(g["n_bc"]), int(n_slots), int(n_sweeps))
         for p, _ in g["members"]:
             object.__setattr__(p, "_pad_to", target)
             # drop stale slot plans built before sharing
@@ -202,6 +202,10 @@ def build_slot_plan(plan, n_sweeps=3, bucket=True):
     unchanged either way.
     """
     pad_to = getattr(plan, "_pad_to", None)
+    if pad_to is not None and pad_to[3] != n_sweeps:
+        # layer-mode schedule rows scale with n_sweeps: targets computed
+        # for a different count would mis-pad; fall back to bucketing
+        pad_to = None
     cache = getattr(plan, "_slot_cache", None)
     if cache is None:
         cache = {}

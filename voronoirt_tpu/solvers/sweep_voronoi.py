@@ -119,7 +119,7 @@ def _bucket(x):
     bench spent 1341 of 1519 s compiling).  Worst-case padding is 1/16
     of the array (grid step = 2^(bits-4)); pad rows read the dummy zero
     slot with weight 0 and write zeros to pad slots, so real-site
-    results are bitwise unchanged (tests/test_voronoi_sweep.py)."""
+    results are bitwise unchanged (tests/test_sweep_voronoi.py)."""
     if x <= 8:
         return int(x)
     g = 1 << max(int(x).bit_length() - 4, 3)
@@ -155,7 +155,12 @@ def share_plan_shapes(plans, n_sweeps=3):
         # land in the same ~1/16 bucket -- at production scale that is
         # still 2-5 compiles for the 12 ul7n12 directions with ~1-2%
         # row padding.
-        kinds = tuple((k, _bucket(np.asarray(s).shape[1]))
+        # both axes are bucketed: members with same-bucket widths but
+        # very different level counts would otherwise pad one member's
+        # rows up to the group max L (the same quadratic-waste scenario
+        # as W, via the other axis)
+        kinds = tuple((k, _bucket(np.asarray(s).shape[0]),
+                       _bucket(np.asarray(s).shape[1]))
                       for s, _, k, _, _ in raw)
         n = p.n
         # orphan count: sites in no schedule row (and not bc) still get
@@ -202,9 +207,24 @@ def build_slot_plan(plan, n_sweeps=3, bucket=True):
     unchanged either way.
     """
     pad_to = getattr(plan, "_pad_to", None)
+    if not bucket:
+        # bucket=False is an explicit opt-out of ALL padding (raw
+        # shapes), including group targets attached by share_plan_shapes
+        # -- the padding-bound test compares against this baseline
+        pad_to = None
     if pad_to is not None and pad_to[3] != n_sweeps:
         # layer-mode schedule rows scale with n_sweeps: targets computed
-        # for a different count would mis-pad; fall back to bucketing
+        # for a different count would mis-pad; fall back to bucketing.
+        # Loud: silently dropping the target re-opens the 12-per-
+        # direction recompiles (1341 s at 442k sites) with no signal.
+        import warnings
+        warnings.warn(
+            "build_slot_plan n_sweeps=%d does not match the "
+            "share_plan_shapes target n_sweeps=%d: shape sharing is "
+            "disabled for this call and each direction may recompile "
+            "its own sweep. Re-run share_plan_shapes(plans, n_sweeps) "
+            "with the sweep's n_sweeps." % (n_sweeps, pad_to[3]),
+            stacklevel=2)
         pad_to = None
     cache = getattr(plan, "_slot_cache", None)
     if cache is None:

@@ -68,7 +68,13 @@ def main():
     ap.add_argument("--atmos", type=int, nargs=3, default=(192, 128, 128))
     ap.add_argument("--out", default=None)
     ap.add_argument("--skip-iteration", action="store_true")
+    ap.add_argument("--skip-sweep", action="store_true",
+                    help="skip the sweep-throughput phase (J-pass "
+                    "timing) and go straight to the full iteration")
     ap.add_argument("--seed", type=int, default=2022)
+    ap.add_argument("--no-cache", action="store_true",
+                    help="disable the tessellation/plan disk cache "
+                    "(cold-build timing runs)")
     args = ap.parse_args()
 
     cache = os.path.join(_ROOT, ".cache", "jax")
@@ -101,18 +107,21 @@ def main():
                        seed=args.seed)
     rec["phases"]["sample_s"] = time.time() - t0
 
+    from voronoirt_tpu.grid.cache import default_cache_dir
+    cache_dir = None if args.no_cache else default_cache_dir()
     bounds = (atmos.z[0], atmos.z[-1], atmos.x[0], atmos.x[-1],
               atmos.y[0], atmos.y[-1])
     t0 = time.time()
     fields = initialise_sites(pos, atmos)
-    sites = build_sites(pos, bounds, fields)
+    sites = build_sites(pos, bounds, fields, cache_dir=cache_dir)
     rec["phases"]["tessellate_s"] = time.time() - t0
     rec["n_sites"] = sites.n
     rec["max_neighbours"] = int(sites.neighbours.shape[1] - 1)
 
     cfg = Config(quadrature=args.quadrature, nlam_bb=args.nlam_bb,
                  nlam_bf=args.nlam_bf, lambda_chunk=args.iter_chunk,
-                 maxiter=1, voronoi_order=args.order)
+                 maxiter=1, voronoi_order=args.order,
+                 cache_dir=cache_dir)
     line = lyman_alpha_line(cfg.nlam_bb, cfg.nlam_bf,
                             jnp.asarray(sites.temperature))
     t0 = time.time()
@@ -169,21 +178,22 @@ def main():
             S = 0.9 * S + 0.1 * J
         return float(jnp.sum(S))
 
-    t0 = time.time()
-    _ = chained(S)
-    rec["phases"]["sweep_compile_s"] = time.time() - t0
-    reps = 2
-    t0 = time.time()
-    for _ in range(reps):
+    if not args.skip_sweep:
+        t0 = time.time()
         _ = chained(S)
-    dt = (time.time() - t0) / reps / K
-    rec["seconds_per_J_pass_12dir"] = dt
-    rec["sweep_throughput_sites_rays_per_s"] = (
-        sites.n * quad.n_angles * B / dt)
-    # scaled to the full 91-lambda production pass
-    rec["projected_full_J_pass_s"] = dt * (line.n_lambda / B)
-    rec["memory_after_sweep"] = mem_stats()
-    save()
+        rec["phases"]["sweep_compile_s"] = time.time() - t0
+        reps = 2
+        t0 = time.time()
+        for _ in range(reps):
+            _ = chained(S)
+        dt = (time.time() - t0) / reps / K
+        rec["seconds_per_J_pass_12dir"] = dt
+        rec["sweep_throughput_sites_rays_per_s"] = (
+            sites.n * quad.n_angles * B / dt)
+        # scaled to the full 91-lambda production pass
+        rec["projected_full_J_pass_s"] = dt * (line.n_lambda / B)
+        rec["memory_after_sweep"] = mem_stats()
+        save()
     # release the throughput-phase operands before the iteration
     del S, alpha
 

@@ -49,22 +49,39 @@ def main():
                          " sweep segments")
     ap.add_argument("--voronoi-order", default="layer",
                     choices=("layer", "wavefront"))
+    ap.add_argument("--lambda-chunk", type=int, default=0,
+                    help="stream wavelengths in blocks of this size "
+                         "through profile->sweep->J (production-scale "
+                         "memory bound); 0 = all at once")
+    ap.add_argument("--f32", action="store_true",
+                    help="float32 end to end (the TPU production mode; "
+                         "default is float64 for validation runs)")
+    ap.add_argument("--no-cache", action="store_true",
+                    help="disable the tessellation/plan disk cache")
     args = ap.parse_args()
 
     import jax
-    jax.config.update("jax_enable_x64", True)
+    if args.f32:
+        _platform_setup(platform=os.environ.get("VRT_PLATFORM") or None,
+                        x64=False)
+    else:
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     from voronoirt_tpu import Config, get_atmos, synthetic_atmosphere
     from voronoirt_tpu.atmosphere import atmosphere_with_ghosts
     from voronoirt_tpu.physics import lyman_alpha_line
     from voronoirt_tpu.engine import RegularEngine, VoronoiEngine
     from voronoirt_tpu.engine.checkpoint import CheckpointFile
+    from voronoirt_tpu.grid.cache import default_cache_dir
 
     cfg = Config(eps=args.eps, maxiter=args.maxiter, nlam_bb=args.nlam_bb,
                  nlam_bf=args.nlam_bf, quadrature=args.quadrature,
                  seed=args.seed,
                  formal_interpolation=args.interpolation,
-                 voronoi_order=args.voronoi_order)
+                 voronoi_order=args.voronoi_order,
+                 lambda_chunk=args.lambda_chunk or None,
+                 dtype="float32" if args.f32 else "float64",
+                 cache_dir=None if args.no_cache else default_cache_dir())
 
     if args.data:
         atmos = get_atmos(args.data, periodic=False, skip=args.skip)
@@ -92,7 +109,7 @@ def main():
                   atmos.y[0], atmos.y[-1])
         fields = initialise_sites(pos, atmos)
         t0 = time.time()
-        sites = build_sites(pos, bounds, fields)
+        sites = build_sites(pos, bounds, fields, cache_dir=cfg.cache_dir)
         print(f"---Tessellated in {time.time()-t0:.1f}s---")
         line = lyman_alpha_line(cfg.nlam_bb, cfg.nlam_bf,
                                 jnp.asarray(sites.temperature))

@@ -54,7 +54,10 @@ def load_engine_from_checkpoint(path, cfg):
 
     if is_voronoi:
         from voronoirt_tpu.grid import build_sites
-        sites = build_sites(positions, bounds, fields)
+        # resume hits the tessellation/plan disk cache (the first run
+        # stored it under the same positions hash): no re-tessellation
+        sites = build_sites(positions, bounds, fields,
+                            cache_dir=cfg.cache_dir)
         line = lyman_alpha_line(n_bb, n_bf,
                                 jnp.asarray(sites.temperature))
         return VoronoiEngine(sites, line, cfg), line
@@ -69,19 +72,33 @@ def main():
     ap.add_argument("--eps", type=float, default=1e-3)
     ap.add_argument("--maxiter", type=int, default=150)
     ap.add_argument("--quadrature", default="ul7n12")
+    ap.add_argument("--voronoi-order", default="layer",
+                    choices=("layer", "wavefront"))
+    ap.add_argument("--lambda-chunk", type=int, default=0)
+    ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--no-cache", action="store_true")
     args = ap.parse_args()
 
     import jax
-    jax.config.update("jax_enable_x64", True)
+    if args.f32:
+        _platform_setup(platform=os.environ.get("VRT_PLATFORM") or None,
+                        x64=False)
+    else:
+        jax.config.update("jax_enable_x64", True)
     from voronoirt_tpu import Config
     from voronoirt_tpu.engine.checkpoint import CheckpointFile, recover
+    from voronoirt_tpu.grid.cache import default_cache_dir
 
     ckpt = CheckpointFile(args.checkpoint)
     import h5py
     with h5py.File(args.checkpoint, "r") as f:
         n_bb, n_bf = int(f["n_bb"][0]), int(f["n_bf"][0])
     cfg = Config(eps=args.eps, maxiter=args.maxiter, nlam_bb=n_bb,
-                 nlam_bf=n_bf, quadrature=args.quadrature)
+                 nlam_bf=n_bf, quadrature=args.quadrature,
+                 voronoi_order=args.voronoi_order,
+                 lambda_chunk=args.lambda_chunk or None,
+                 dtype="float32" if args.f32 else "float64",
+                 cache_dir=None if args.no_cache else default_cache_dir())
 
     eng, line = load_engine_from_checkpoint(args.checkpoint, cfg)
     it = ckpt.resume_iteration()

@@ -72,6 +72,12 @@ class Config:
     # --- seeds ---
     seed: int = 2022              # site-sampling seed (compare_line.jl:7)
 
+    # --- host preprocessing cache ---
+    cache_dir: Optional[str] = None  # disk cache for tessellations and
+    # per-direction sweep plans (grid/cache.py): the analog of the
+    # reference persisting neighbours.txt (src/functions.jl:13-23).
+    # None = off; drivers default it to .cache/vrt (or $VRT_CACHE_DIR)
+
     # --- checkpointing ---
     checkpoint_every: int = 1     # Lambda iterations between checkpoints
 

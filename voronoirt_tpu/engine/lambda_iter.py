@@ -339,7 +339,8 @@ class VoronoiEngine:
             up = bool(self.quad.is_up[i])
             self.plans.append(build_voronoi_plan(
                 sites, k, up, p=cfg.upwind_exponent, compat=cfg.compat,
-                order=cfg.voronoi_order, n_sweeps=cfg.n_sweeps))
+                order=cfg.voronoi_order, n_sweeps=cfg.n_sweeps,
+                cache_dir=cfg.cache_dir))
         # pad per-direction slot shapes to group maxima: one compiled
         # sweep per stage-structure group instead of one per direction
         share_plan_shapes(self.plans, cfg.n_sweeps)

@@ -50,6 +50,8 @@ class VoronoiSites:
     velocity_x: np.ndarray
     velocity_y: np.ndarray
     bounds: tuple                # (z_min, z_max, x_min, x_max, y_min, y_max)
+    content_key: str | None = None   # sha over (positions, bounds): the
+    # tessellation/plan disk-cache key (grid/cache.py)
 
     @property
     def n(self):
@@ -75,7 +77,8 @@ def delaunay_lines(positions, neighbours, bounds):
     idx = neighbours[:, 1:].astype(np.int64)
     valid = (np.arange(W)[None, :] < neighbours[:, :1]) & (idx >= 0)
     safe = np.where(valid, idx, 0)
-    d = positions[safe] - positions[:, None, :]       # (n, W, 3) in (z,x,y)
+    d = positions[safe]
+    d -= positions[:, None, :]                        # (n, W, 3) in (z,x,y)
     d[..., 1] -= Lx * np.round(d[..., 1] / Lx)
     d[..., 2] -= Ly * np.round(d[..., 2] / Ly)
     norm = np.linalg.norm(d, axis=-1)
@@ -85,17 +88,34 @@ def delaunay_lines(positions, neighbours, bounds):
     return lines, valid
 
 
-def build_sites(positions, bounds, fields, max_nb=32, n_threads=0):
+def build_sites(positions, bounds, fields, max_nb=32, n_threads=0,
+                cache_dir=None):
     """Run the native tessellation + layering and assemble VoronoiSites.
 
     The in-process equivalent of write_arrays -> voro subprocess ->
     read_cell (SURVEY.md §3.1 "PROCESS BOUNDARY").
+
+    cache_dir: when set, the tessellation (neighbour matrix + BFS
+    layers) is loaded from / saved to a content-addressed disk cache
+    (grid/cache.py) -- the analog of the reference persisting and
+    re-reading neighbours.txt (src/functions.jl:13-23, src/io.jl:8-40).
+    Delaunay unit vectors are cheap and recomputed either way.
     """
-    neighbours = voronoi_neighbors(positions, bounds, max_nb=max_nb,
-                                   n_threads=n_threads)
+    from . import cache as _cache
+    skey = _cache.sites_key(positions, bounds)
+    cached = (_cache.load_tessellation(cache_dir, skey)
+              if cache_dir else None)
+    if cached is not None:
+        neighbours, lay_up, lay_dn = cached
+    else:
+        neighbours = voronoi_neighbors(positions, bounds, max_nb=max_nb,
+                                       n_threads=n_threads)
+        lay_up = bfs_layers(neighbours, BOTTOM_WALL)
+        lay_dn = bfs_layers(neighbours, TOP_WALL)
+        if cache_dir:
+            _cache.save_tessellation(cache_dir, skey, neighbours,
+                                     lay_up, lay_dn)
     lines, _ = delaunay_lines(positions, neighbours, bounds)
-    lay_up = bfs_layers(neighbours, BOTTOM_WALL)
-    lay_dn = bfs_layers(neighbours, TOP_WALL)
     return VoronoiSites(
         positions=np.asarray(positions, dtype=np.float64),
         neighbours=neighbours, delaunay_lines=lines,
@@ -106,7 +126,8 @@ def build_sites(positions, bounds, fields, max_nb=32, n_threads=0):
         velocity_z=fields["velocity_z"],
         velocity_x=fields["velocity_x"],
         velocity_y=fields["velocity_y"],
-        bounds=tuple(float(b) for b in bounds))
+        bounds=tuple(float(b) for b in bounds),
+        content_key=skey)
 
 
 # ------------------------------------------------------------ sweep plan
@@ -346,8 +367,13 @@ def _gs_layer_schedule(layer_lists, upwind, active, n, n_sweeps, up):
 
 
 def build_voronoi_plan(sites: VoronoiSites, k, up, p=7.0,
-                       compat="reference", order="layer", n_sweeps=3):
+                       compat="reference", order="layer", n_sweeps=3,
+                       cache_dir=None):
     """Compile the static upwind/ordering plan for direction k.
+
+    cache_dir: when set (and the sites carry a content_key), the built
+    plan is loaded from / saved to the disk cache (grid/cache.py), so
+    repeated production launches and crash resume skip the host build.
 
     Upwind selection: for every site, the two neighbours whose Delaunay
     lines have the largest positive dot product with k; if the second
@@ -377,12 +403,23 @@ def build_voronoi_plan(sites: VoronoiSites, k, up, p=7.0,
     """
     k = np.asarray(k, dtype=np.float64)
     n = sites.n
+
+    from . import cache as _cache
+    pkey = None
+    if cache_dir and sites.content_key:
+        pkey = _cache.plan_key(sites.content_key, k, up, p, compat,
+                               order, n_sweeps)
+        hit = _cache.load_plan(cache_dir, pkey)
+        if hit is not None and hit["n"] == n:
+            return VoronoiPlan(k=tuple(k), up=up, **hit)
+
     nb = sites.neighbours
     W = nb.shape[1] - 1
     idx = nb[:, 1:].astype(np.int64)
     valid = (np.arange(W)[None, :] < nb[:, :1]) & (idx >= 0)
 
-    dots = np.einsum("nwc,c->nw", sites.delaunay_lines, k)
+    # (n*W, 3) @ (3,) BLAS matvec: ~10x the strided einsum at 3.5e6 sites
+    dots = (sites.delaunay_lines.reshape(-1, 3) @ k).reshape(n, W)
     dots = np.where(valid, dots, -np.inf)
 
     if compat == "reference":
@@ -431,25 +468,37 @@ def build_voronoi_plan(sites: VoronoiSites, k, up, p=7.0,
     tot = np.where(tot > 0, tot, 1.0)
     weights = np.stack([w1p / tot, w2p / tot], axis=1)
 
-    # path lengths
+    # path lengths: one fancy-index pass; the min-image variant (r when
+    # compat != 'reference'; always the wavefront bin resolution) derives
+    # from the same deltas instead of re-gathering pos[upwind]
     pos = sites.positions
     upwind = np.stack([up1, up2], axis=1).astype(np.int32)
-    d_vec = pos[upwind] - pos[:, None, :]
-    if compat != "reference":
-        z_min, z_max, x_min, x_max, y_min, y_max = sites.bounds
-        Lx, Ly = x_max - x_min, y_max - y_min
-        d_vec[..., 1] -= Lx * np.round(d_vec[..., 1] / Lx)
-        d_vec[..., 2] -= Ly * np.round(d_vec[..., 2] / Ly)
-    r = np.linalg.norm(d_vec, axis=-1)
+    d_vec = pos[upwind]
+    d_vec -= pos[:, None, :]
+    z_min, z_max, x_min, x_max, y_min, y_max = sites.bounds
+    Lx_box, Ly_box = x_max - x_min, y_max - y_min
+    r_raw = (np.linalg.norm(d_vec, axis=-1)
+             if compat == "reference" else None)
+    r_mi = None
+    if compat != "reference" or order == "wavefront":
+        d_vec[..., 1] -= Lx_box * np.round(d_vec[..., 1] / Lx_box)
+        d_vec[..., 2] -= Ly_box * np.round(d_vec[..., 2] / Ly_box)
+        r_mi = np.linalg.norm(d_vec, axis=-1)
+    r = r_raw if compat == "reference" else r_mi
 
     layers = sites.layers_up if up else sites.layers_down
     L = int(layers.max())
     counts = np.bincount(layers, minlength=L + 1)
     Wmax = int(counts[2:].max()) if L >= 2 else 1
     layer_sites = np.full((max(L - 1, 0), Wmax), n, dtype=np.int32)
-    for l in range(2, L + 1):
-        ids = np.nonzero(layers == l)[0]
-        layer_sites[l - 2, :len(ids)] = ids
+    if L >= 2:
+        ids_all = np.nonzero(layers >= 2)[0]
+        lay = (layers[ids_all] - 2).astype(np.int64)
+        order_ix = np.argsort(lay, kind="stable")   # keeps ids ascending
+        ids_s, lay_s = ids_all[order_ix], lay[order_ix]
+        starts = np.concatenate(
+            [[0], np.cumsum(np.bincount(lay_s, minlength=L - 1))])[:-1]
+        layer_sites[lay_s, np.arange(len(ids_s)) - starts[lay_s]] = ids_s
     bc_sites = np.nonzero(layers == 1)[0].astype(np.int32)
 
     if compat == "reference" and order != "wavefront" and L >= 2:
@@ -474,10 +523,13 @@ def build_voronoi_plan(sites: VoronoiSites, k, up, p=7.0,
                 "Config(voronoi_order='wavefront') for the exact "
                 "upwind-DAG ordering.", GrazingLayerOrderWarning,
                 stacklevel=2)
-        return VoronoiPlan(k=tuple(k), up=up, layer_sites=layer_sites,
+        plan = VoronoiPlan(k=tuple(k), up=up, layer_sites=layer_sites,
                            upwind=upwind, weights=weights, r=r,
                            bc_sites=bc_sites, n=n, gs_levels=gs_levels,
                            gs_up_occ=gs_up_occ)
+        if pkey is not None:
+            _cache.save_plan(cache_dir, pkey, plan)
+        return plan
 
     is_bc = np.zeros(n, dtype=bool)
     is_bc[bc_sites] = True
@@ -488,12 +540,6 @@ def build_voronoi_plan(sites: VoronoiSites, k, up, p=7.0,
     # always the min-image distance (the compat='reference' unwrapped r
     # is metres across the seam and would inflate the bin width)
     s = pos @ k
-    z_min, z_max, x_min, x_max, y_min, y_max = sites.bounds
-    Lx_box, Ly_box = x_max - x_min, y_max - y_min
-    d_mi = pos[upwind] - pos[:, None, :]
-    d_mi[..., 1] -= Lx_box * np.round(d_mi[..., 1] / Lx_box)
-    d_mi[..., 2] -= Ly_box * np.round(d_mi[..., 2] / Ly_box)
-    r_mi = np.linalg.norm(d_mi, axis=-1)
     ds_edge = (r_mi * np.stack([np.maximum(d1, 0.0),
                                 np.maximum(d2, 0.0)], axis=1))[active]
     mean_ds = float(ds_edge.mean()) if ds_edge.size else 1.0
@@ -519,16 +565,14 @@ def build_voronoi_plan(sites: VoronoiSites, k, up, p=7.0,
         if use_exact:
             order_ids = np.argsort(lev[resolved], kind="stable")
             ids_sorted = np.nonzero(resolved)[0][order_ids]
+            lev_s = lev[resolved][order_ids].astype(np.int64) - 1
+            starts = np.concatenate([[0], np.cumsum(wx)])[:-1]
+            within = np.arange(n_res) - starts[lev_s]
+            row_base = np.concatenate(
+                [[0], np.cumsum(-(-wx // cap))])[:-1]
             exact_levels = np.full((n_rows, cap), n, dtype=np.int32)
-            row = 0
-            start = 0
-            for l in range(Lx):
-                w = int(wx[l])
-                for c in range(0, w, cap):
-                    chunk = ids_sorted[start + c:start + min(c + cap, w)]
-                    exact_levels[row, :len(chunk)] = chunk
-                    row += 1
-                start += w
+            exact_levels[row_base[lev_s] + within // cap,
+                         within % cap] = ids_sorted
 
     # everything not exactly ordered: one s-sorted bin schedule
     # (most-upwind first -- upwind sites always have larger s because
@@ -545,11 +589,10 @@ def build_voronoi_plan(sites: VoronoiSites, k, up, p=7.0,
         span = abs(s[rest].max() - s[rest].min()) if rest.size > 1 else 0.0
         n_bins = max(1, min(int(np.ceil(span / (0.5 * mean_ds))),
                             len(ids)))
-        W = -(-len(ids) // n_bins)
-        relax_levels = np.full((n_bins, W), n, dtype=np.int32)
-        for b in range(n_bins):
-            chunk = ids[b * W:(b + 1) * W]
-            relax_levels[b, :len(chunk)] = chunk
+        Wr = -(-len(ids) // n_bins)
+        relax_levels = np.concatenate(
+            [ids, np.full(n_bins * Wr - len(ids), n, dtype=np.int64)]
+        ).astype(np.int32).reshape(n_bins, Wr)
         # seam wraps: a chain crossing the periodic seam re-enters at
         # high s (an earlier, already-processed bin), costing one global
         # repeat of the schedule -- empirically ~3 repeats per wrap
@@ -564,9 +607,12 @@ def build_voronoi_plan(sites: VoronoiSites, k, up, p=7.0,
             wraps = 10.0
         relax_repeats = int(min(2 + np.ceil(3.0 * wraps), 32))
 
-    return VoronoiPlan(k=tuple(k), up=up, layer_sites=layer_sites,
+    plan = VoronoiPlan(k=tuple(k), up=up, layer_sites=layer_sites,
                        upwind=upwind, weights=weights, r=r,
                        bc_sites=bc_sites, n=n,
                        exact_levels=exact_levels,
                        relax_levels=relax_levels,
                        relax_repeats=relax_repeats)
+    if pkey is not None:
+        _cache.save_plan(cache_dir, pkey, plan)
+    return plan

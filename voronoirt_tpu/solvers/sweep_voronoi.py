@@ -328,10 +328,24 @@ def build_slot_plan(plan, n_sweeps=3, bucket=True):
     return sp
 
 
-def _device_arrays(sp):
+# levels per block of the two-level stage scan: the S/alpha gather for
+# a whole block is hoisted into ONE batched take (per-row transaction
+# cost dominates TPU gathers, and the hoist also packs S and alpha into
+# one 2B-lane row, halving row transactions for B <= 64), while the
+# sequential I gather stays per level.  8 amortizes the hoist without
+# inflating the block temporaries (K*W*2*B elements).
+_LEVEL_BLOCK = 8
+
+
+def _device_arrays(sp, block=_LEVEL_BLOCK):
     """Device-resident geometry, built once per slot plan (re-uploading
     ~10 MB of indices/weights per sweep through a remote-TPU tunnel
-    costs more than the sweep itself)."""
+    costs more than the sweep itself).
+
+    Stages are reshaped into (Lb, K, ...) level blocks for the blocked
+    stage scan; pad levels write into the I scratch rows (start =
+    n_slots + 1) and gather the dummy zero slot with weight 0, so
+    results are bitwise those of the unblocked per-level scan."""
     cache = getattr(sp, "_dev_cache", None)
     if cache is None:
         # ensure_compile_time_eval: the cache must hold REAL device
@@ -339,15 +353,29 @@ def _device_arrays(sp):
         # an outer jit trace (otherwise tracers leak into the cache and
         # poison every later call)
         with jax.ensure_compile_time_eval():
-            stage_arrays = tuple(
-                (jnp.asarray(st.base
-                             + np.arange(st.L, dtype=np.int32) * st.W),
-                 jnp.asarray(st.up),
-                 jnp.asarray(st.w),
-                 jnp.asarray(st.r),
-                 jnp.asarray(st.repeats, jnp.int32))
-                for st in sp.stages)
-            cache = (stage_arrays, jnp.asarray(sp.slot_gather),
+            stage_arrays = []
+            for st in sp.stages:
+                L, W = st.L, st.W
+                K = max(1, min(block, L))
+                Lb = -(-L // K) if L else 0
+                padL = Lb * K - L
+                starts = st.base + np.arange(L, dtype=np.int32) * W
+                starts = np.concatenate(
+                    [starts, np.full(padL, sp.n_slots + 1, np.int32)])
+                up = np.concatenate(
+                    [st.up, np.full((padL, W, 2), sp.n_slots,
+                                    st.up.dtype)])
+                w = np.concatenate(
+                    [st.w, np.zeros((padL, W, 2), st.w.dtype)])
+                r = np.concatenate(
+                    [st.r, np.zeros((padL, W, 2), st.r.dtype)])
+                stage_arrays.append(
+                    (jnp.asarray(starts.reshape(Lb, K)),
+                     jnp.asarray(up.reshape(Lb, K, W, 2)),
+                     jnp.asarray(w.reshape(Lb, K, W, 2)),
+                     jnp.asarray(r.reshape(Lb, K, W, 2)),
+                     jnp.asarray(st.repeats, jnp.int32)))
+            cache = (tuple(stage_arrays), jnp.asarray(sp.slot_gather),
                      jnp.asarray(sp.site_gather))
         object.__setattr__(sp, "_dev_cache", cache)
     return cache
@@ -355,30 +383,49 @@ def _device_arrays(sp):
 
 # ---------------------------------------------------------- device sweep
 
-def _stage_scan(I, S_sl, a_sl, stage_xs, W, passes):
-    """lax.scan over one stage's levels.  I, S_sl, a_sl: (n_slots+1, B);
-    per level: flat-take the 2 upwind rows, fused formal solution,
-    contiguous dynamic_update_slice of the level's row block."""
-    B = I.shape[1]
+def _stage_scan(I, SA, B, stage_xs, W, passes):
+    """Blocked lax.scan over one stage's levels.
 
-    def body(I, xs):
-        start, up2, w2, r2 = xs          # (W,2) slot ids / weights / r
-        flat = up2.reshape(-1)
-        a_u = jnp.take(a_sl, flat, axis=0).reshape(W, 2, B)
-        s_u = jnp.take(S_sl, flat, axis=0).reshape(W, 2, B)
-        zero = jnp.zeros((), start.dtype)
-        a_c = jax.lax.dynamic_slice(a_sl, (start, zero), (W, B))
-        s_c = jax.lax.dynamic_slice(S_sl, (start, zero), (W, B))
-        dtau = r2[..., None] * (a_c[:, None] + a_u) * 0.5
+    I: (n_slots + 1 + W_scratch, B) intensities (dummy zero row at
+    n_slots, pad-level scratch after it); SA: (n_slots + 1 + pad, 2B)
+    source/extinction packed along lanes.  Outer scan walks K-level
+    blocks: ONE batched SA gather + slice precomputes the
+    field-dependent weights for the whole block (levels occupy
+    consecutive slot rows, so the block's own rows are one contiguous
+    dynamic_slice); the inner scan then walks the block's levels with
+    only the irreducibly sequential work left: flat-take the 2 upwind
+    I rows, fused formal solution, contiguous dynamic_update_slice.
+    Arithmetic is expression-for-expression that of the naive per-level
+    scan -- results are bitwise identical."""
+
+    def block(I, xs):
+        starts, up, w2, r2 = xs    # (K,), (K,W,2), (K,W,2), (K,W,2)
+        K = starts.shape[0]
+        zero = jnp.zeros((), starts.dtype)
+        flat_blk = up.reshape(-1)
+        sa_u = jnp.take(SA, flat_blk, axis=0).reshape(K, W, 2, 2 * B)
+        s_u, a_u = sa_u[..., :B], sa_u[..., B:]
+        sa_c = jax.lax.dynamic_slice(
+            SA, (starts[0], zero), (K * W, 2 * B)).reshape(K, W, 2 * B)
+        s_c, a_c = sa_c[..., :B], sa_c[..., B:]
+        dtau = r2[..., None] * (a_c[:, :, None] + a_u) * 0.5
         aw, bw, ew = linear_weights(dtau)
-        src = aw * s_u + bw * s_c[:, None]
-        for _ in range(passes):
-            i_u = jnp.take(I, flat, axis=0).reshape(W, 2, B)
-            i_new = jnp.sum(w2[..., None] * (ew * i_u + src), axis=1)
-            I = jax.lax.dynamic_update_slice(I, i_new, (start, zero))
+        src = aw * s_u + bw * s_c[:, :, None]
+
+        def level(I, lxs):
+            start, upl, w2l, ewl, srcl = lxs
+            fl = upl.reshape(-1)
+            for _ in range(passes):
+                i_u = jnp.take(I, fl, axis=0).reshape(W, 2, B)
+                i_new = jnp.sum(w2l[..., None] * (ewl * i_u + srcl),
+                                axis=1)
+                I = jax.lax.dynamic_update_slice(I, i_new, (start, zero))
+            return I, None
+
+        I, _ = jax.lax.scan(level, I, (starts, up, w2, ew, src))
         return I, None
 
-    I, _ = jax.lax.scan(body, I, stage_xs)
+    I, _ = jax.lax.scan(block, I, stage_xs)
     return I
 
 
@@ -401,31 +448,38 @@ def _sweep_slots(shapes, relax_tol, stage_arrays, slot_gather, site_gather,
     """
     B, n = S.shape
     n_slots = slot_gather.shape[0]
+    # static pad sizes from the blocked stage shapes: SA needs the
+    # trailing overhang of a mixed final block's contiguous slice
+    # (< K*W rows); I needs W scratch rows for pad-level writes
+    sa_pad = max((int(np.prod(xs[1].shape[1:3]))
+                  for xs in stage_arrays), default=0)
+    w_scratch = max((int(xs[1].shape[2]) for xs in stage_arrays),
+                    default=0)
 
     def to_slots(A):
-        sl = jnp.take(A.T, slot_gather, axis=0)          # (n_slots, B)
-        return jnp.concatenate([sl, jnp.zeros((1, B), A.dtype)], axis=0)
+        return jnp.take(A.T, slot_gather, axis=0)        # (n_slots, B)
 
-    S_sl = to_slots(S)
-    a_sl = to_slots(alpha)
-    I = jnp.zeros((n_slots + 1, B), dtype=S.dtype)
+    SA = jnp.concatenate([to_slots(S), to_slots(alpha)], axis=1)
+    SA = jnp.concatenate(
+        [SA, jnp.zeros((1 + sa_pad, 2 * B), SA.dtype)], axis=0)
+    I = jnp.zeros((n_slots + 1 + w_scratch, B), dtype=S.dtype)
     I = jax.lax.dynamic_update_slice(I, I0.T.astype(S.dtype), (0, 0))
 
     for (kind, W, passes), (*xs, repeats) in zip(shapes, stage_arrays):
         xs = tuple(xs)
         if kind != "relax":
-            I = _stage_scan(I, S_sl, a_sl, xs, W, passes)
+            I = _stage_scan(I, SA, B, xs, W, passes)
         elif not relax_tol:
             I = jax.lax.fori_loop(
                 0, repeats,
-                lambda _, I: _stage_scan(I, S_sl, a_sl, xs, W, passes), I)
+                lambda _, I: _stage_scan(I, SA, B, xs, W, passes), I)
         else:
             # exit only after TWO consecutive sub-tol laps: a single lap
             # whose sup-change dips below tol on a stalled-but-unconverged
             # low-opacity wrap chain must not truncate the schedule
             def body(state):
                 i, I, streak = state
-                I_new = _stage_scan(I, S_sl, a_sl, xs, W, passes)
+                I_new = _stage_scan(I, SA, B, xs, W, passes)
                 diff = jnp.max(jnp.abs(I_new - I))
                 scale = jnp.maximum(jnp.max(jnp.abs(I_new)),
                                     jnp.asarray(1e-30, I.dtype))

@@ -53,10 +53,19 @@ def distributed_init(coordinator_address=None, num_processes=None,
     import warnings
     import jax
 
+    # manual launch coordinates from the environment (see README
+    # "Multi-host launch"): VRT_* take precedence, then the JAX names
+    if coordinator_address is None:
+        coordinator_address = (os.environ.get("VRT_COORDINATOR")
+                               or os.environ.get("JAX_COORDINATOR_ADDRESS")
+                               or os.environ.get("COORDINATOR_ADDRESS"))
+    if num_processes is None and os.environ.get("VRT_NUM_PROCESSES"):
+        num_processes = int(os.environ["VRT_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("VRT_PROCESS_ID"):
+        process_id = int(os.environ["VRT_PROCESS_ID"])
+
     explicit = coordinator_address or num_processes or process_id is not None
-    env = (os.environ.get("JAX_COORDINATOR_ADDRESS")
-           or os.environ.get("COORDINATOR_ADDRESS"))
-    if not (explicit or env):
+    if not explicit:
         return  # single-host (TPU_WORKER_HOSTNAMES alone is not enough:
         # it is set on single-host TPU VMs too)
     try:

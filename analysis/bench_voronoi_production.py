@@ -199,20 +199,44 @@ def main():
 
     # ---------------- one full NLTE iteration, lambda-chunked
     if not args.skip_iteration:
-        t0 = time.time()
-        pops = eng.lte
-        damping_lam = eng.damping_lam(pops)
-        J = eng.compute_J(eng.B0, pops, damping_lam)
         from voronoirt_tpu.engine.lambda_iter import (_update_S,
                                                       _rates_and_populations)
-        S_new = _update_S(line, eng.eps, J, eng.B0)
-        pops_new = _rates_and_populations(line, J, damping_lam, eng.lte,
-                                          eng.C, eng.T, eng.nH, cfg.compat)
-        # scalar readbacks synchronize through the tunnel
-        s_sum = float(jnp.sum(S_new))
-        p_sum = float(jnp.sum(pops_new))
-        rec["phases"]["nlte_iteration_s"] = time.time() - t0
+
+        def one_iteration():
+            t0 = time.time()
+            pops = eng.lte
+            damping_lam = eng.damping_lam(pops)
+            _ = float(jnp.sum(damping_lam))   # tunnel sync per sub-phase
+            t1 = time.time()
+            J = eng.compute_J(eng.B0, pops, damping_lam)
+            _ = float(jnp.sum(J))
+            t2 = time.time()
+            S_new = _update_S(line, eng.eps, J, eng.B0)
+            pops_new = _rates_and_populations(
+                line, J, damping_lam, eng.lte, eng.C, eng.T, eng.nH,
+                cfg.compat)
+            # scalar readbacks synchronize through the tunnel
+            s_sum = float(jnp.sum(S_new))
+            p_sum = float(jnp.sum(pops_new))
+            t3 = time.time()
+            phases = {"damping_s": t1 - t0,
+                      "J_s": t2 - t1,        # profiles+alpha+12x sweeps
+                      "S_rates_populations_s": t3 - t2}
+            return phases, t3 - t0, s_sum, p_sum
+
+        # first call includes the iteration-shape compiles; the recorded
+        # per-iteration number is the warm second call (a production run
+        # compiles once and iterates ~dozens of times)
+        _, cold, s_sum, p_sum = one_iteration()
+        rec["phases"]["nlte_iteration_compile_s"] = cold
         rec["iteration_finite"] = bool(np.isfinite(s_sum)
+                                       and np.isfinite(p_sum))
+        save()
+        phases, warm, s_sum, p_sum = one_iteration()
+        rec["iteration_phases"] = phases
+        rec["phases"]["nlte_iteration_s"] = warm
+        rec["iteration_finite"] = bool(rec["iteration_finite"]
+                                       and np.isfinite(s_sum)
                                        and np.isfinite(p_sum))
         rec["iteration_pts_rays"] = sites.n * quad.n_angles * line.n_lambda
         rec["iteration_throughput_pts_rays_per_s"] = (

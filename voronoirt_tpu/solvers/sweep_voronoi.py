@@ -336,6 +336,11 @@ def build_slot_plan(plan, n_sweeps=3, bucket=True):
 # inflating the block temporaries (K*W*2*B elements).
 _LEVEL_BLOCK = 8
 
+# unroll factor of the inner level scan: the per-level work is a handful
+# of small ops whose loop-iteration overhead is comparable to the ops
+# themselves; unrolling amortizes it (compile time grows with the factor)
+_LEVEL_UNROLL = 4
+
 
 def _device_arrays(sp, block=_LEVEL_BLOCK):
     """Device-resident geometry, built once per slot plan (re-uploading
@@ -422,7 +427,8 @@ def _stage_scan(I, SA, B, stage_xs, W, passes):
                 I = jax.lax.dynamic_update_slice(I, i_new, (start, zero))
             return I, None
 
-        I, _ = jax.lax.scan(level, I, (starts, up, w2, ew, src))
+        I, _ = jax.lax.scan(level, I, (starts, up, w2, ew, src),
+                            unroll=_LEVEL_UNROLL)
         return I, None
 
     I, _ = jax.lax.scan(block, I, stage_xs)

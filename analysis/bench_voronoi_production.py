@@ -35,14 +35,24 @@ if _ROOT not in sys.path:
     sys.path.insert(0, _ROOT)
 
 
-def mem_stats():
+def mem_stats(probe=False):
     import jax
+    out = {}
     try:
         s = jax.devices()[0].memory_stats() or {}
-        return {"bytes_in_use": s.get("bytes_in_use"),
-                "peak_bytes_in_use": s.get("peak_bytes_in_use")}
+        out = {"bytes_in_use": s.get("bytes_in_use"),
+               "peak_bytes_in_use": s.get("peak_bytes_in_use")}
     except Exception:
-        return {}
+        pass
+    if probe and out.get("bytes_in_use") is None:
+        # axon tunnel: memory_stats is null -- measure free HBM directly
+        # by allocation bisection (voronoirt_tpu.observability.metrics)
+        from voronoirt_tpu.observability.metrics import probe_free_hbm
+        try:
+            out["free_bytes_probed"] = probe_free_hbm()
+        except Exception:
+            out["free_bytes_probed"] = None
+    return out
 
 
 def main():
@@ -192,7 +202,7 @@ def main():
             sites.n * quad.n_angles * B / dt)
         # scaled to the full 91-lambda production pass
         rec["projected_full_J_pass_s"] = dt * (line.n_lambda / B)
-        rec["memory_after_sweep"] = mem_stats()
+        rec["memory_after_sweep"] = mem_stats(probe=True)
         save()
     # release the throughput-phase operands before the iteration
     del S, alpha
@@ -241,7 +251,7 @@ def main():
         rec["iteration_pts_rays"] = sites.n * quad.n_angles * line.n_lambda
         rec["iteration_throughput_pts_rays_per_s"] = (
             rec["iteration_pts_rays"] / rec["phases"]["nlte_iteration_s"])
-        rec["memory_after_iteration"] = mem_stats()
+        rec["memory_after_iteration"] = mem_stats(probe=True)
 
     out = args.out or os.path.join(_ROOT, "BENCH_VORONOI.json")
     with open(out, "w") as f:

@@ -69,6 +69,46 @@ def device_trace(log_dir):
         jax.profiler.stop_trace()
 
 
+def probe_free_hbm(upper_gb=16.0, resolution_mb=256):
+    """Estimate free device memory by allocation bisection [bytes].
+
+    device.memory_stats() returns nulls through the axon remote-TPU
+    tunnel, so peak-HBM accounting is done the direct way: bisect the
+    largest f32 buffer that still allocates.  Call at a measurement
+    point (e.g. right after a production sweep, before operands are
+    freed); peak usage ~= total HBM - returned value.  The probe buffer
+    is freed before returning.  Allocation failures are caught per
+    attempt, so a production run can call this without dying -- but
+    fragmentation makes it a lower bound on free memory.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    step = int(resolution_mb * 2 ** 20)
+    lo, hi = 0, int(upper_gb * 2 ** 30) // step
+
+    def fits(k):
+        if k == 0:
+            return True
+        try:
+            buf = jnp.zeros((k * step // 4,), jnp.float32)
+            buf.block_until_ready()
+            # a scalar readback forces materialization through the tunnel
+            ok = bool(buf[-1] == 0.0)
+            del buf
+            return ok
+        except Exception:
+            return False
+
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if fits(mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo * step
+
+
 def nan_guard(name, *arrays):
     """Host-side NaN watchdog mirroring the reference's convergence NaN
     check (lambda_iteration.jl:310-312)."""

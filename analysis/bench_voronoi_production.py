@@ -82,6 +82,9 @@ def main():
                     help="skip the sweep-throughput phase (J-pass "
                     "timing) and go straight to the full iteration")
     ap.add_argument("--seed", type=int, default=2022)
+    ap.add_argument("--rates-chunk", type=int, default=1 << 19,
+                    help="site-slab size for the streamed rates/SE "
+                    "update (engine _rates_and_populations_slabbed)")
     ap.add_argument("--no-cache", action="store_true",
                     help="disable the tessellation/plan disk cache "
                     "(cold-build timing runs)")
@@ -207,24 +210,29 @@ def main():
     # release the throughput-phase operands before the iteration
     del S, alpha
 
-    # ---------------- one full NLTE iteration, lambda-chunked
+    # ---------------- one full NLTE iteration, lambda-chunked,
+    # production-memory path (per-chunk damping + site-slabbed rates:
+    # the 3.5e6-site iteration OOMs holding the full damping cube)
     if not args.skip_iteration:
-        from voronoirt_tpu.engine.lambda_iter import (_update_S,
-                                                      _rates_and_populations)
+        from voronoirt_tpu.engine.lambda_iter import (
+            _update_S, _gamma_cell, _rates_and_populations_slabbed)
+        rates_chunk = args.rates_chunk
 
         def one_iteration():
             t0 = time.time()
             pops = eng.lte
-            damping_lam = eng.damping_lam(pops)
-            _ = float(jnp.sum(damping_lam))   # tunnel sync per sub-phase
+            g_cell = _gamma_cell(line, eng.T,
+                                 pops[..., 0] + pops[..., 1], eng.ne,
+                                 cfg.gamma_natural)
+            _ = float(jnp.sum(g_cell))        # tunnel sync per sub-phase
             t1 = time.time()
-            J = eng.compute_J(eng.B0, pops, damping_lam)
+            J = eng.compute_J(eng.B0, pops, None)
             _ = float(jnp.sum(J))
             t2 = time.time()
             S_new = _update_S(line, eng.eps, J, eng.B0)
-            pops_new = _rates_and_populations(
-                line, J, damping_lam, eng.lte, eng.C, eng.T, eng.nH,
-                cfg.compat)
+            pops_new = _rates_and_populations_slabbed(
+                line, J, g_cell, eng.lte, eng.C, eng.T, eng.nH,
+                cfg.compat, rates_chunk)
             # scalar readbacks synchronize through the tunnel
             s_sum = float(jnp.sum(S_new))
             p_sum = float(jnp.sum(pops_new))

@@ -56,6 +56,10 @@ def main():
     ap.add_argument("--f32", action="store_true",
                     help="float32 end to end (the TPU production mode; "
                          "default is float64 for validation runs)")
+    ap.add_argument("--rates-chunk", type=int, default=0,
+                    help="stream the rates/SE update over site slabs "
+                         "of this size (production memory path); 0 = "
+                         "all at once")
     ap.add_argument("--no-cache", action="store_true",
                     help="disable the tessellation/plan disk cache")
     args = ap.parse_args()
@@ -80,6 +84,7 @@ def main():
                  formal_interpolation=args.interpolation,
                  voronoi_order=args.voronoi_order,
                  lambda_chunk=args.lambda_chunk or None,
+                 rates_site_chunk=args.rates_chunk or None,
                  dtype="float32" if args.f32 else "float64",
                  cache_dir=None if args.no_cache else default_cache_dir())
 

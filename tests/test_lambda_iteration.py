@@ -122,3 +122,36 @@ class TestLambdaChunking:
         Ja = np.asarray(ea.compute_J(ea.B0, ea.lte, damping))
         Jb = np.asarray(eb.compute_J(eb.B0, eb.lte, damping))
         assert np.allclose(Ja, Jb, rtol=1e-12)
+
+    def test_chunked_damping_matches_full(self, atmos):
+        """compute_J(damping_lam=None) -- per-chunk damping from the
+        per-cell gamma -- must equal the materialized-cube path."""
+        cfg = small_cfg(lambda_chunk=4)
+        line = lyman_alpha_line(cfg.nlam_bb, cfg.nlam_bf,
+                                jnp.asarray(atmos.temperature))
+        eng = RegularEngine(atmos, line, cfg)
+        damping = eng.damping_lam(eng.lte)
+        Ja = np.asarray(eng.compute_J(eng.B0, eng.lte, damping))
+        Jb = np.asarray(eng.compute_J(eng.B0, eng.lte, None))
+        np.testing.assert_array_equal(Ja, Jb)
+
+    def test_slabbed_rates_match_full(self, atmos):
+        """The production-memory iteration (rates_site_chunk + chunked
+        damping) reproduces the default path's populations and S."""
+        from voronoirt_tpu.grid import build_sites, initialise_sites
+        from voronoirt_tpu.grid.sampling import sample_sites
+
+        pos = sample_sites(atmos, 700, seed=3)
+        bounds = (atmos.z[0], atmos.z[-1], atmos.x[0], atmos.x[-1],
+                  atmos.y[0], atmos.y[-1])
+        sites = build_sites(pos, bounds, initialise_sites(pos, atmos))
+        cfg_a = small_cfg(maxiter=2)
+        cfg_b = small_cfg(maxiter=2, lambda_chunk=4,
+                          rates_site_chunk=256)
+        line = lyman_alpha_line(cfg_a.nlam_bb, cfg_a.nlam_bf,
+                                jnp.asarray(sites.temperature))
+        ra = VoronoiEngine(sites, line, cfg_a).run()
+        rb = VoronoiEngine(sites, line, cfg_b).run()
+        assert np.allclose(ra.S, rb.S, rtol=1e-12, atol=0)
+        assert np.allclose(ra.populations, rb.populations, rtol=1e-10)
+        assert ra.convergence == pytest.approx(rb.convergence, rel=1e-8)

@@ -68,6 +68,11 @@ class Config:
     lambda_chunk: Optional[int] = None  # stream wavelengths in blocks of
     # this size through profile->alpha->sweep->J (bounds peak memory at
     # production scale, e.g. 91 lambda x 3.5e6 sites); None = all at once
+    rates_site_chunk: Optional[int] = None  # stream the rates/SE update
+    # over site slabs of this size (with damping recomputed per lambda
+    # chunk / rate slab from the per-cell gamma): the production-memory
+    # path that never materializes the (nlam, n) damping cube.
+    # Pointwise in space -- results are bitwise the full-path values
 
     # --- seeds ---
     seed: int = 2022              # site-sampling seed (compare_line.jl:7)

@@ -100,6 +100,23 @@ def _damping_lambda(line, temperature, n_neutral, electron_density,
 
 
 @partial(jax.jit, static_argnames=("line",))
+def _gamma_cell(line, temperature, n_neutral, electron_density,
+                gamma_natural):
+    """Per-cell damping rate gamma (lambda-independent)."""
+    return gamma_constant(line, temperature, n_neutral, electron_density,
+                          gamma_natural)
+
+
+@partial(jax.jit, static_argnames=("line",))
+def _damping_chunk(line, g_cell, lam_c):
+    """damping for one lambda chunk from the per-cell gamma -- the
+    production-scale path that never materializes the full
+    (nlam, n) damping cube (1.3 GB at 3.5e6 sites)."""
+    lam = lam_c.reshape((-1,) + (1,) * g_cell.ndim)
+    return damping(g_cell[None], lam, line.dlamD[None])
+
+
+@partial(jax.jit, static_argnames=("line",))
 def _alpha_tot(line, lam, damping_lam, v_los, populations, alpha_cont):
     """alpha_line(profile(angle)) + alpha_cont for wavelengths `lam`."""
     profile = compute_profile(line, lam, damping_lam, v_los)
@@ -117,6 +134,15 @@ def _lambda_chunks(n_lambda, chunk):
             for i in range(0, n_lambda, chunk)]
 
 
+@partial(jax.jit, donate_argnums=0)
+def _write_rows(buf, chunk, start):
+    """Donated in-place write of a lambda chunk into the J buffer
+    (chunk assembly by concatenate would double-buffer 1.3 GB at
+    production scale)."""
+    return jax.lax.dynamic_update_slice(
+        buf, chunk, (start,) + (0,) * (buf.ndim - 1))
+
+
 @partial(jax.jit, static_argnames=("line",))
 def _update_S(line, eps, J, B0):
     return (1.0 - eps)[None] * J + eps[None] * B0
@@ -128,6 +154,52 @@ def _rates_and_populations(line, J, damping_lam, lte, C, temperature,
     R = calculate_R(line, J, damping_lam, lte, temperature, compat=compat)
     pops = get_revised_populations(R, C, hydrogen_density)
     return pops
+
+
+@partial(jax.jit, static_argnames=("line", "compat"))
+def _rates_slab(line, J_sl, g_sl, lte_sl, C_sl, T_sl, nH_sl, compat):
+    """One site-slab of rates + SE with damping recomputed in-jit, so
+    the (nlam, slab) Voigt/sigma/integrand temporaries stay bounded
+    (the regular production bench's rates_fused pattern)."""
+    lam = jnp.asarray(line.lam).reshape((-1,) + (1,) * T_sl.ndim)
+    damp = damping(g_sl[None], lam, line.dlamD[None])
+    R = calculate_R(line, J_sl, damp, lte_sl, T_sl, compat=compat)
+    return get_revised_populations(R, C_sl, nH_sl)
+
+
+def _rates_and_populations_slabbed(line, J, g_cell, lte, C, temperature,
+                                   hydrogen_density, compat, site_chunk):
+    """Stream the rates/SE update over site slabs (production scale:
+    3.5e6 sites x 91 lambda cannot hold the full damping + sigma
+    temporaries next to J).  Pointwise in space, so slab equality with
+    the all-at-once path is exact."""
+    import dataclasses as _dc
+    n = temperature.shape[0]
+    slabs = [slice(s0, min(s0 + site_chunk, n))
+             for s0 in range(0, n, site_chunk)]
+    # slab-sliced line objects are identity-hashed jit statics: build
+    # them ONCE per (line, chunk) and reuse across iterations, else
+    # every iteration re-traces each slab
+    cache = getattr(line, "_slab_lines", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(line, "_slab_lines", cache)
+    key = (site_chunk, n)
+    if key not in cache:
+        cache[key] = [_dc.replace(line, dlamD=line.dlamD[sl])
+                      for sl in slabs]
+    outs = []
+    for sl, line_s in zip(slabs, cache[key]):
+        outs.append(_rates_slab(
+            line_s, J[:, sl], g_cell[sl], lte[sl],
+            {k: v[sl] for k, v in C.items()}, temperature[sl],
+            hydrogen_density[sl], compat))
+        # backpressure: a scalar readback drains the enqueued slabs so
+        # in-flight temporaries stay bounded (block_until_ready does
+        # not synchronize through the axon tunnel)
+        if len(outs) % 4 == 0:
+            float(jnp.sum(outs[-1][0, 0]))
+    return jnp.concatenate(outs, axis=0)
 
 
 def _criterion(S_new, S_old):
@@ -176,7 +248,7 @@ class RegularEngine:
         (self.lte, self.a_cont, self.eps, self.C,
          self.B0) = frozen_setup(line, self.T, self.ne, self.nH, cfg)
 
-    def compute_J(self, S, populations, damping_lam):
+    def compute_J(self, S, populations, damping_lam=None):
         """J accumulation over the quadrature (J_lambda_regular).
 
         With cfg.lambda_chunk set, wavelengths stream in blocks through
@@ -185,25 +257,46 @@ class RegularEngine:
         the quadrature directions (parallel/angles.py).  Mirror-quadrant
         angle groups (plan_groups) run as single batched sweeps unless
         angle MPMD or Bezier interpolation asks for per-angle sweeps.
+
+        damping_lam=None computes damping per lambda chunk from the
+        per-cell gamma (never the full (nlam, nz, nx, ny) cube).
         """
         from ..parallel import angles as _ang
         line, quad = self.line, self.quad
         devs = getattr(self, "angle_devices", None)
         lam = jnp.asarray(line.lam)
         chunks = _lambda_chunks(line.n_lambda, self.cfg.lambda_chunk)
+        g_cell = None
+        if damping_lam is None:
+            g_cell = _gamma_cell(line, self.T,
+                                 populations[..., 0] + populations[..., 1],
+                                 self.ne, self.cfg.gamma_natural)
+            if devs:
+                damping_lam = _damping_lambda(
+                    line, self.T,
+                    populations[..., 0] + populations[..., 1],
+                    self.ne, self.cfg.gamma_natural)
         grouped = (not devs
                    and self.cfg.formal_interpolation == "linear"
                    and any(len(g) > 1 for g in self.plan_groups))
-        J_parts = []
+        J_buf = None
+        if len(chunks) > 1:
+            J_buf = jnp.zeros((line.n_lambda,) + S.shape[1:], S.dtype)
         for sl in chunks:
+            if damping_lam is not None:
+                damp_sl = damping_lam[sl]
+            else:
+                damp_sl = _damping_chunk(line, g_cell, lam[sl])
             if grouped:
-                J_parts.append(self._J_chunk_grouped(S[sl], populations,
-                                                     damping_lam[sl],
-                                                     lam[sl]))
+                Jc = self._J_chunk_grouped(S[sl], populations,
+                                           damp_sl, lam[sl])
+                if J_buf is None:
+                    return Jc
+                J_buf = _write_rows(J_buf, Jc, sl.start)
                 continue
             if devs:
                 state = _ang.broadcast_state(
-                    devs, S=S[sl], damping=damping_lam[sl],
+                    devs, S=S[sl], damping=damp_sl,
                     populations=populations, lam=lam[sl])
                 partials = {}
             else:
@@ -221,7 +314,7 @@ class RegularEngine:
                                                   st["lam"])
                 else:
                     v, a_cont, T_bot = self.v, self.a_cont, self.T[0]
-                    S_c, damp_c, pops_c, lam_c = (S[sl], damping_lam[sl],
+                    S_c, damp_c, pops_c, lam_c = (S[sl], damp_sl,
                                                   populations, lam[sl])
                 v_los = line_of_sight_velocity(v, -k)
                 a_tot = _alpha_tot(line, lam_c, damp_c, v_los,
@@ -243,9 +336,10 @@ class RegularEngine:
             if devs:
                 Jc = _ang.reduce_partials(partials,
                                           _ang.target_device(S))
-            J_parts.append(Jc)
-        return J_parts[0] if len(J_parts) == 1 else jnp.concatenate(
-            J_parts, axis=0)
+            if J_buf is None:
+                return Jc
+            J_buf = _write_rows(J_buf, Jc, sl.start)
+        return J_buf
 
     def _J_chunk_grouped(self, S_c, populations, damp_c, lam_c):
         """One lambda chunk of J with mirror-angle groups batched.
@@ -351,20 +445,41 @@ class VoronoiEngine:
         (self.lte, self.a_cont, self.eps, self.C,
          self.B0) = frozen_setup(line, self.T, self.ne, self.nH, cfg)
 
-    def compute_J(self, S, populations, damping_lam):
+    def compute_J(self, S, populations, damping_lam=None):
         """J accumulation over the quadrature (J_lambda_voronoi);
         lambda-chunked like the regular engine, angle-distributable like
-        it too (parallel/angles.py)."""
+        it too (parallel/angles.py).
+
+        damping_lam=None computes damping per lambda chunk from the
+        per-cell gamma instead of a full (nlam, n) cube -- bitwise the
+        same values, 1.3 GB less resident at the production scale.
+        """
         from ..parallel import angles as _ang
         line, quad = self.line, self.quad
         devs = getattr(self, "angle_devices", None)
         lam = jnp.asarray(line.lam)
         chunks = _lambda_chunks(line.n_lambda, self.cfg.lambda_chunk)
-        J_parts = []
+        g_cell = None
+        if damping_lam is None:
+            g_cell = _gamma_cell(line, self.T,
+                                 populations[..., 0] + populations[..., 1],
+                                 self.ne, self.cfg.gamma_natural)
+            if devs:        # MPMD broadcast wants the materialized cube
+                damping_lam = _damping_lambda(
+                    line, self.T,
+                    populations[..., 0] + populations[..., 1],
+                    self.ne, self.cfg.gamma_natural)
+        J_buf = None
+        if len(chunks) > 1:
+            J_buf = jnp.zeros((line.n_lambda,) + S.shape[1:], S.dtype)
         for sl in chunks:
+            if damping_lam is not None:
+                damp_sl = damping_lam[sl]
+            else:
+                damp_sl = _damping_chunk(line, g_cell, lam[sl])
             if devs:
                 state = _ang.broadcast_state(
-                    devs, S=S[sl], damping=damping_lam[sl],
+                    devs, S=S[sl], damping=damp_sl,
                     populations=populations, lam=lam[sl])
                 partials = {}
             else:
@@ -381,7 +496,7 @@ class VoronoiEngine:
                                                   st["lam"])
                 else:
                     v, a_cont, T_d = self.v, self.a_cont, self.T
-                    S_c, damp_c, pops_c, lam_c = (S[sl], damping_lam[sl],
+                    S_c, damp_c, pops_c, lam_c = (S[sl], damp_sl,
                                                   populations, lam[sl])
                 v_los = line_of_sight_velocity(v, -k)
                 a_tot = _alpha_tot(line, lam_c, damp_c, v_los,
@@ -402,9 +517,10 @@ class VoronoiEngine:
             if devs:
                 Jc = _ang.reduce_partials(partials,
                                           _ang.target_device(S))
-            J_parts.append(Jc)
-        return J_parts[0] if len(J_parts) == 1 else jnp.concatenate(
-            J_parts, axis=0)
+            if J_buf is None:
+                return Jc
+            J_buf = _write_rows(J_buf, Jc, sl.start)
+        return J_buf
 
     def damping_lam(self, populations):
         return _damping_lambda(self.line, self.T,
@@ -450,12 +566,27 @@ def _run_iteration(engine, checkpoint=None, start_iteration=0, S_init=None,
 
         t0 = time.time()
         S_old = S_new
-        damping_lam = engine.damping_lam(populations)
-        J = engine.compute_J(S_old, populations, damping_lam)
-        S_new = _update_S(line, engine.eps, J, engine.B0)
-        populations = _rates_and_populations(
-            line, J, damping_lam, engine.lte, engine.C, engine.T,
-            engine.nH, cfg.compat)
+        if cfg.rates_site_chunk:
+            # production-memory path: damping per lambda chunk inside
+            # compute_J, rates streamed over site slabs -- never holds
+            # the (nlam, n) damping cube next to J (bitwise-identical
+            # values; tests/test_lambda_iteration.py pins equality)
+            g_cell = _gamma_cell(
+                line, engine.T,
+                populations[..., 0] + populations[..., 1], engine.ne,
+                cfg.gamma_natural)
+            J = engine.compute_J(S_old, populations, None)
+            S_new = _update_S(line, engine.eps, J, engine.B0)
+            populations = _rates_and_populations_slabbed(
+                line, J, g_cell, engine.lte, engine.C, engine.T,
+                engine.nH, cfg.compat, cfg.rates_site_chunk)
+        else:
+            damping_lam = engine.damping_lam(populations)
+            J = engine.compute_J(S_old, populations, damping_lam)
+            S_new = _update_S(line, engine.eps, J, engine.B0)
+            populations = _rates_and_populations(
+                line, J, damping_lam, engine.lte, engine.C, engine.T,
+                engine.nH, cfg.compat)
         jax.block_until_ready(populations)
         timings.append(time.time() - t0)
 

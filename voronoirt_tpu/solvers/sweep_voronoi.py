@@ -341,6 +341,11 @@ _LEVEL_BLOCK = 8
 # loop-overhead-bound -- so stay at 1 and keep compiles small)
 _LEVEL_UNROLL = 1
 
+# static memory budget for hoisting a relax stage's precomputed (src,
+# ew) pair out of its repeat loop (bytes); stages above it recompute
+# per lap inside the blocked scan instead
+_HOIST_BUDGET_BYTES = 3 << 30
+
 
 def _device_arrays(sp, block=_LEVEL_BLOCK):
     """Device-resident geometry, built once per slot plan (re-uploading
@@ -404,18 +409,8 @@ def _stage_scan(I, SA, B, stage_xs, W, passes):
     scan -- results are bitwise identical."""
 
     def block(I, xs):
-        starts, up, w2, r2 = xs    # (K,), (K,W,2), (K,W,2), (K,W,2)
-        K = starts.shape[0]
+        starts, up, w2, ew, src = xs
         zero = jnp.zeros((), starts.dtype)
-        flat_blk = up.reshape(-1)
-        sa_u = jnp.take(SA, flat_blk, axis=0).reshape(K, W, 2, 2 * B)
-        s_u, a_u = sa_u[..., :B], sa_u[..., B:]
-        sa_c = jax.lax.dynamic_slice(
-            SA, (starts[0], zero), (K * W, 2 * B)).reshape(K, W, 2 * B)
-        s_c, a_c = sa_c[..., :B], sa_c[..., B:]
-        dtau = r2[..., None] * (a_c[:, :, None] + a_u) * 0.5
-        aw, bw, ew = linear_weights(dtau)
-        src = aw * s_u + bw * s_c[:, :, None]
 
         def level(I, lxs):
             start, upl, w2l, ewl, srcl = lxs
@@ -431,8 +426,72 @@ def _stage_scan(I, SA, B, stage_xs, W, passes):
                             unroll=_LEVEL_UNROLL)
         return I, None
 
-    I, _ = jax.lax.scan(block, I, stage_xs)
+    def block_fused(I, xs):
+        ew, src = _block_src_ew(SA, B, xs, W)
+        starts, up, w2, _ = xs
+        return block(I, (starts, up, w2, ew, src))
+
+    I, _ = jax.lax.scan(block_fused, I, stage_xs)
     return I
+
+
+def _block_src_ew(SA, B, xs, W):
+    """Field-dependent weights for one K-level block: ONE batched SA
+    gather + one contiguous slice (the block's levels occupy consecutive
+    slot rows), then the formal-solution weights."""
+    starts, up, w2, r2 = xs        # (K,), (K,W,2), (K,W,2), (K,W,2)
+    K = starts.shape[0]
+    zero = jnp.zeros((), starts.dtype)
+    flat_blk = up.reshape(-1)
+    sa_u = jnp.take(SA, flat_blk, axis=0).reshape(K, W, 2, 2 * B)
+    s_u, a_u = sa_u[..., :B], sa_u[..., B:]
+    sa_c = jax.lax.dynamic_slice(
+        SA, (starts[0], zero), (K * W, 2 * B)).reshape(K, W, 2 * B)
+    s_c, a_c = sa_c[..., :B], sa_c[..., B:]
+    dtau = r2[..., None] * (a_c[:, :, None] + a_u) * 0.5
+    aw, bw, ew = linear_weights(dtau)
+    src = aw * s_u + bw * s_c[:, :, None]
+    return ew, src
+
+
+def _stage_scan_hoisted(I, SA, B, stage_xs, W, passes):
+    """_stage_scan with the field-dependent weights precomputed for the
+    WHOLE stage up front (one scan over blocks), returning a repeat
+    closure that replays the levels paying only the sequential I
+    gathers.  Used for relax stages, whose global repeats otherwise
+    re-gather S/alpha and re-evaluate the exp weights every lap;
+    expression-for-expression identical to _stage_scan (bitwise)."""
+    def pre(_, xs):
+        return None, _block_src_ew(SA, B, xs, W)
+
+    _, (ew, src) = jax.lax.scan(pre, None, stage_xs)
+    starts, up, w2, _ = stage_xs
+    lean_xs = (starts, up, w2, ew, src)
+
+    def run(I):
+        def block(I, xs):
+            s, u, w, e, sr = xs
+            zero = jnp.zeros((), s.dtype)
+
+            def level(I, lxs):
+                start, upl, w2l, ewl, srcl = lxs
+                fl = upl.reshape(-1)
+                for _ in range(passes):
+                    i_u = jnp.take(I, fl, axis=0).reshape(W, 2, B)
+                    i_new = jnp.sum(
+                        w2l[..., None] * (ewl * i_u + srcl), axis=1)
+                    I = jax.lax.dynamic_update_slice(
+                        I, i_new, (start, zero))
+                return I, None
+
+            I, _ = jax.lax.scan(level, I, (s, u, w, e, sr),
+                                unroll=_LEVEL_UNROLL)
+            return I, None
+
+        I, _ = jax.lax.scan(block, I, lean_xs)
+        return I
+
+    return run
 
 
 @partial(jax.jit, static_argnames=("shapes", "relax_tol"))
@@ -475,17 +534,27 @@ def _sweep_slots(shapes, relax_tol, stage_arrays, slot_gather, site_gather,
         xs = tuple(xs)
         if kind != "relax":
             I = _stage_scan(I, SA, B, xs, W, passes)
-        elif not relax_tol:
-            I = jax.lax.fori_loop(
-                0, repeats,
-                lambda _, I: _stage_scan(I, SA, B, xs, W, passes), I)
+            continue
+        # relax stage: repeats re-run the whole schedule.  Precompute
+        # the field-dependent weights once (they don't depend on I) so
+        # every lap pays only the sequential I gathers -- gated on a
+        # static memory budget (the hoisted (rows, 2, B) src/ew pair)
+        rows = int(np.prod(xs[1].shape[:3]))
+        hoist = rows * 2 * B * 4 * 2 <= _HOIST_BUDGET_BYTES
+        if hoist:
+            lap = _stage_scan_hoisted(I, SA, B, xs, W, passes)
+        else:
+            def lap(I, xs=xs):
+                return _stage_scan(I, SA, B, xs, W, passes)
+        if not relax_tol:
+            I = jax.lax.fori_loop(0, repeats, lambda _, I: lap(I), I)
         else:
             # exit only after TWO consecutive sub-tol laps: a single lap
             # whose sup-change dips below tol on a stalled-but-unconverged
             # low-opacity wrap chain must not truncate the schedule
             def body(state):
                 i, I, streak = state
-                I_new = _stage_scan(I, SA, B, xs, W, passes)
+                I_new = lap(I)
                 diff = jnp.max(jnp.abs(I_new - I))
                 scale = jnp.maximum(jnp.max(jnp.abs(I_new)),
                                     jnp.asarray(1e-30, I.dtype))

@@ -62,6 +62,15 @@ def main():
                          "all at once")
     ap.add_argument("--no-cache", action="store_true",
                     help="disable the tessellation/plan disk cache")
+    ap.add_argument("--atmos", type=int, nargs=3, default=(32, 16, 16),
+                    metavar=("NZ", "NX", "NY"),
+                    help="synthetic-atmosphere shape when --data is "
+                         "not given (production benches use 192 128 "
+                         "128; the reference's half-res Bifrost is "
+                         "215 256 256)")
+    ap.add_argument("--atmos-seed", type=int, default=5,
+                    help="synthetic-atmosphere seed (5 matches the "
+                         "bench atmospheres so site caches are shared)")
     args = ap.parse_args()
 
     import jax
@@ -91,7 +100,9 @@ def main():
     if args.data:
         atmos = get_atmos(args.data, periodic=False, skip=args.skip)
     else:
-        atmos = synthetic_atmosphere(nz=32, nx=16, ny=16, seed=args.seed)
+        nz, nx, ny = args.atmos
+        atmos = synthetic_atmosphere(nz=nz, nx=nx, ny=ny,
+                                     seed=args.atmos_seed)
 
     t_start = time.time()
     ckpt = None

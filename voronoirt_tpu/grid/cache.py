@@ -28,6 +28,10 @@ import tempfile
 import numpy as np
 
 CACHE_VERSION = 1
+# plans version independently: schedule-construction changes (cap
+# model, segmentation) must miss old plan entries without invalidating
+# the far more expensive tessellation entries
+PLAN_VERSION = 2
 
 _PLAN_ARRAYS = ("layer_sites", "upwind", "weights", "r", "bc_sites",
                 "exact_levels", "relax_levels", "gs_levels", "gs_up_occ")
@@ -52,7 +56,7 @@ def sites_key(positions, bounds):
 
 def plan_key(skey, k, up, p, compat, order, n_sweeps):
     h = hashlib.sha256()
-    h.update(b"vrt-plan-v%d" % CACHE_VERSION)
+    h.update(b"vrt-plan-v%d" % PLAN_VERSION)
     h.update(skey.encode())
     h.update(np.asarray(k, dtype=np.float64).tobytes())
     h.update(("%d|%r|%s|%s|%d" % (int(up), float(p), compat, order,

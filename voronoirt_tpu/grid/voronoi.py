@@ -552,14 +552,23 @@ def build_voronoi_plan(sites: VoronoiSites, k, up, p=7.0,
         # Within a level all updates are independent (deps point to
         # strictly earlier levels), so levels wider than a cap can split
         # into several schedule rows without changing the result.  The
-        # cap bounds the padded cost at ~n_res + n_rows*(cap-1) instead
-        # of Lx * max-width, which keeps the exact schedule viable for
-        # ragged level-size distributions (it also sets the sweep's
-        # per-scan-step width, so it is lane-aligned).  Mean width
-        # rounded up to a multiple of 128.
+        # cap (row width) trades gather-row padding against scan-step
+        # count: the sweep is gather-row-bound (~8 ns/row at the fast
+        # >=364-byte lane width, measured on v5e) with a ~20 us fixed
+        # cost per schedule row, so pick the ladder cap minimizing
+        #   rows(cap) * (4 * cap * 8ns + 20us)
+        # (4 gathered rows per slot row: 2 upwinds x {SA, I}).  The old
+        # mean-width cap left 44% of rows as dummy padding at 3.5e6
+        # sites (fill 0.56 -> ~0.9).
         Lx = int(lev[resolved].max())
         wx = np.bincount(lev[resolved], minlength=Lx + 1)[1:]
-        cap = int(-(-max(n_res // max(Lx, 1), 1) // 128)) * 128
+        best = None
+        for cap_c in (128, 256, 512, 1024, 2048, 4096, 8192, 16384):
+            rows_c = int(np.sum(-(-wx // cap_c)))
+            cost = rows_c * (4 * cap_c * 8e-9 + 20e-6)
+            if best is None or cost < best[0]:
+                best = (cost, cap_c)
+        cap = best[1]
         n_rows = int(np.sum(-(-wx // cap)))
         use_exact = n_rows * cap <= n_sweeps * n_res
         if use_exact:

@@ -343,8 +343,10 @@ _LEVEL_UNROLL = 1
 
 # static memory budget for hoisting a relax stage's precomputed (src,
 # ew) pair out of its repeat loop (bytes); stages above it recompute
-# per lap inside the blocked scan instead
-_HOIST_BUDGET_BYTES = 3 << 30
+# per lap inside the blocked scan instead.  1 GB: the 3.5e6-site
+# production iteration OOMed with a 2.7 GB hoist next to its slot
+# arrays, while the 442k relax stages (~0.7 GB at B=96) still qualify
+_HOIST_BUDGET_BYTES = 1 << 30
 
 
 def _device_arrays(sp, block=_LEVEL_BLOCK):

@@ -34,7 +34,8 @@ def _load_atmos(args):
     from voronoirt_tpu import get_atmos, synthetic_atmosphere
     if args.data:
         return get_atmos(args.data, periodic=False, skip=args.skip)
-    return synthetic_atmosphere(nz=48, nx=32, ny=32, seed=1998)
+    nz, nx, ny = getattr(args, "atmos", None) or (48, 32, 32)
+    return synthetic_atmosphere(nz=nz, nx=nx, ny=ny, seed=1998)
 
 
 def lte_continuum_fields(atmos):
@@ -123,6 +124,8 @@ if __name__ == "__main__":
     ap.add_argument("--skip", type=int, default=1)
     ap.add_argument("--n-sites", type=int, default=0)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--atmos", type=int, nargs=3, default=(48, 32, 32),
+                    metavar=("NZ", "NX", "NY"))
     args = ap.parse_args()
     if args.out:
         os.makedirs(args.out, exist_ok=True)

@@ -143,6 +143,10 @@ def main():
     ap.add_argument("--skips", default="1,2,3,4")
     ap.add_argument("--out", required=True)
     ap.add_argument("--seed", type=int, default=1998)
+    ap.add_argument("--atmos", type=int, nargs=3, default=(48, 32, 32),
+                    metavar=("NZ", "NX", "NY"),
+                    help="synthetic-atmosphere shape when --data is "
+                         "not given")
     ap.add_argument("--no-plots", action="store_true")
     args = ap.parse_args()
 

@@ -162,6 +162,9 @@ def main():
                         jnp.float32)
     quad = eng.quad
 
+    from voronoirt_tpu.engine.lambda_iter import _sync_interval, _drain
+    sync_every = _sync_interval(4 * B * sites.n)
+
     def J_pass(S):
         J = jnp.zeros_like(S)
         for i in range(quad.n_angles):
@@ -173,6 +176,10 @@ def main():
             J = J + quad.weights[i] * sweep_voronoi(
                 plan, S, alpha, I0, n_sweeps=cfg.n_sweeps,
                 relax_tol=cfg.voronoi_relax_tol)
+            # drain enqueue-ahead output buffers (wide chunks OOM with
+            # 12 x (B, n) sweep outputs allocated at dispatch)
+            if (i + 1) % sync_every == 0:
+                _drain(J)
         return J
 
     out = args.out or os.path.join(_ROOT, "BENCH_VORONOI.json")

@@ -143,6 +143,22 @@ def _write_rows(buf, chunk, start):
         buf, chunk, (start,) + (0,) * (buf.ndim - 1))
 
 
+def _sync_interval(nbytes, budget=4 << 30):
+    """Backpressure cadence for the angle loop: JAX allocates every
+    enqueued sweep's OUTPUT buffer at dispatch time, so an unthrottled
+    12-angle loop at (91, 3.5e6) holds 12 x 1.28 GB of not-yet-consumed
+    intensities and OOMs.  A scalar readback every `interval` angles
+    drains the stream (block_until_ready does not synchronize through
+    the axon tunnel); sized so in-flight outputs stay under `budget`
+    and small problems never pay the round trip."""
+    return max(1, int(budget // max(nbytes, 1)))
+
+
+def _drain(x):
+    """One-element scalar readback (never a full-array reduction)."""
+    float(x[(0,) * x.ndim])
+
+
 @partial(jax.jit, static_argnames=("line",))
 def _update_S(line, eps, J, B0):
     return (1.0 - eps)[None] * J + eps[None] * B0
@@ -287,6 +303,8 @@ class RegularEngine:
                 damp_sl = damping_lam[sl]
             else:
                 damp_sl = _damping_chunk(line, g_cell, lam[sl])
+            sync_every = _sync_interval(
+                4 * (sl.stop - sl.start) * int(np.prod(S.shape[1:])))
             if grouped:
                 Jc = self._J_chunk_grouped(S[sl], populations,
                                            damp_sl, lam[sl])
@@ -333,6 +351,8 @@ class RegularEngine:
                     _ang.partial_accumulate(partials, d, Iw)
                 else:
                     Jc = Jc + Iw
+                    if (i + 1) % sync_every == 0:
+                        _drain(Jc)
             if devs:
                 Jc = _ang.reduce_partials(partials,
                                           _ang.target_device(S))
@@ -477,6 +497,8 @@ class VoronoiEngine:
                 damp_sl = damping_lam[sl]
             else:
                 damp_sl = _damping_chunk(line, g_cell, lam[sl])
+            sync_every = _sync_interval(
+                4 * (sl.stop - sl.start) * int(np.prod(S.shape[1:])))
             if devs:
                 state = _ang.broadcast_state(
                     devs, S=S[sl], damping=damp_sl,
@@ -514,6 +536,8 @@ class VoronoiEngine:
                     _ang.partial_accumulate(partials, d, Iw)
                 else:
                     Jc = Jc + Iw
+                    if (i + 1) % sync_every == 0:
+                        _drain(Jc)
             if devs:
                 Jc = _ang.reduce_partials(partials,
                                           _ang.target_device(S))

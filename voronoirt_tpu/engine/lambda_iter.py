@@ -143,14 +143,16 @@ def _write_rows(buf, chunk, start):
         buf, chunk, (start,) + (0,) * (buf.ndim - 1))
 
 
-def _sync_interval(nbytes, budget=4 << 30):
+def _sync_interval(nbytes, budget=1 << 30):
     """Backpressure cadence for the angle loop: JAX allocates every
     enqueued sweep's OUTPUT buffer at dispatch time, so an unthrottled
     12-angle loop at (91, 3.5e6) holds 12 x 1.28 GB of not-yet-consumed
     intensities and OOMs.  A scalar readback every `interval` angles
     drains the stream (block_until_ready does not synchronize through
     the axon tunnel); sized so in-flight outputs stay under `budget`
-    and small problems never pay the round trip."""
+    and small problems never pay the round trip.  1 GB: the executing
+    direction's slot workspace (~6 GB at 3.5e6 sites x 91 lambda) plus
+    residents leaves little slack on a 16 GB chip."""
     return max(1, int(budget // max(nbytes, 1)))
 
 

@@ -162,7 +162,8 @@ def main():
                         jnp.float32)
     quad = eng.quad
 
-    from voronoirt_tpu.engine.lambda_iter import _sync_interval, _drain
+    from voronoirt_tpu.engine.lambda_iter import (_sync_interval, _drain,
+                                                  _accum)
     sync_every = _sync_interval(4 * B * sites.n)
 
     def J_pass(S):
@@ -173,9 +174,10 @@ def main():
                 I0 = jnp.ones((B, len(plan.bc_sites)), S.dtype)
             else:
                 I0 = jnp.zeros((B, len(plan.bc_sites)), S.dtype)
-            J = J + quad.weights[i] * sweep_voronoi(
+            J = _accum(J, sweep_voronoi(
                 plan, S, alpha, I0, n_sweeps=cfg.n_sweeps,
-                relax_tol=cfg.voronoi_relax_tol)
+                relax_tol=cfg.voronoi_relax_tol),
+                jnp.asarray(quad.weights[i], S.dtype))
             # drain enqueue-ahead output buffers (wide chunks OOM with
             # 12 x (B, n) sweep outputs allocated at dispatch)
             if (i + 1) % sync_every == 0:
@@ -192,10 +194,16 @@ def main():
 
     save()
     K = 2
+
+    @jax.jit
+    def _mix(S, J):
+        return 0.9 * S + 0.1 * J
+
     def chained(S):
         for _ in range(K):
             J = J_pass(S)
-            S = 0.9 * S + 0.1 * J
+            S = _mix(S, J)
+            del J
         return float(jnp.sum(S))
 
     if not args.skip_sweep:

@@ -20,6 +20,7 @@
 // is built from cli_main.cc.
 
 #include <algorithm>
+#include <limits>
 #include <atomic>
 #include <cmath>
 #include <cstdint>
@@ -441,6 +442,101 @@ void vrt_topo_levels(const int32_t* upwind, const uint8_t* active,
       }
     }
   }
+}
+
+// Per-direction upwind selection + path lengths -- the hot half of the
+// host plan build (src/voronoi_utils.jl:282-396 smallest_angle;
+// grid/voronoi.py build_voronoi_plan).  Arithmetic follows the numpy
+// reference path (dots as (l0*k0 + l1*k1) + l2*k2, norms as
+// sqrt((dz^2 + dx^2) + dy^2), half-even rounding for the minimum
+// image; the Makefile sets -ffp-contract=off): upwind choices and
+// path lengths are bit-identical to the numpy build; raw dots may
+// sit 1 ulp from the BLAS matvec (tests/test_native_plan.py).
+//
+//   lines: n*W*3 unit vectors (z,x,y); neighbours: n*(W+1), col 0 count;
+//   pos: n*3 (z,x,y); compat_reference: 1 = the reference's STREAMING
+//   top-2 (a new maximum overwrites slot 1 without demoting), 0 = true
+//   top-2.  Outputs: upwind n*2 (cleaned ids), d12 n*2 (cleaned dots,
+//   ready for the blend-weight pow), r_raw n*2 (unwrapped euclidean),
+//   r_mi n*2 (x/y minimum image).
+void vrt_upwind_select(const double* lines, const int32_t* neighbours,
+                       const double* pos, int64_t n, int W,
+                       const double* kvec, int compat_reference,
+                       double Lx, double Ly,
+                       int32_t* upwind, double* d12,
+                       double* r_raw, double* r_mi, int n_threads) {
+  const double k0 = kvec[0], k1 = kvec[1], k2 = kvec[2];
+  if (n_threads <= 0)
+    n_threads = std::max(1u, std::thread::hardware_concurrency());
+
+  auto worker = [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      const int32_t* nb = neighbours + i * (int64_t)(W + 1);
+      const int count = std::min(nb[0], (int32_t)W);
+      const double* li = lines + i * (int64_t)W * 3;
+      double d1, d2;
+      int32_t u1 = 0, u2 = 0;
+      if (compat_reference) {
+        d1 = -1.0; d2 = -1.0;
+        for (int w = 0; w < count; ++w) {
+          int32_t id = nb[1 + w];
+          if (id < 0) continue;               // wall: dot = -inf
+          const double* l = li + (int64_t)w * 3;
+          double m0 = l[0] * k0, m1 = l[1] * k1, m2 = l[2] * k2;
+          double d = (m0 + m1) + m2;
+          if (d > d2) {
+            if (d > d1) { d1 = d; u1 = id; }  // no demotion (reference)
+            else        { d2 = d; u2 = id; }
+          }
+        }
+        u1 = (d1 > -1.0) ? u1 : 0;
+      } else {
+        d1 = -std::numeric_limits<double>::infinity();
+        d2 = d1;
+        for (int w = 0; w < count; ++w) {
+          int32_t id = nb[1 + w];
+          if (id < 0) continue;
+          const double* l = li + (int64_t)w * 3;
+          double m0 = l[0] * k0, m1 = l[1] * k1, m2 = l[2] * k2;
+          double d = (m0 + m1) + m2;
+          if (d > d1) { d2 = d1; u2 = u1; d1 = d; u1 = id; }
+          else if (d > d2) { d2 = d; u2 = id; }
+        }
+        if (W == 1) { d2 = d1; u2 = u1; }
+        u1 = std::isfinite(d1) ? u1 : 0;
+      }
+      const bool bad2 = !(d2 > 0.0);          // <=0 and -inf/nan
+      u2 = bad2 ? u1 : u2;
+      d2 = bad2 ? 0.0 : d2;
+      d1 = std::isfinite(d1) ? std::max(d1, 0.0) : 0.0;
+      upwind[i * 2] = u1;
+      upwind[i * 2 + 1] = u2;
+      d12[i * 2] = d1;
+      d12[i * 2 + 1] = d2;
+      const double* pi = pos + i * 3;
+      const int32_t us[2] = {u1, u2};
+      for (int s = 0; s < 2; ++s) {
+        const double* pu = pos + (int64_t)us[s] * 3;
+        double dz = pu[0] - pi[0];
+        double dx = pu[1] - pi[1];
+        double dy = pu[2] - pi[2];
+        double z2 = dz * dz, x2 = dx * dx, y2 = dy * dy;
+        r_raw[i * 2 + s] = std::sqrt((z2 + x2) + y2);
+        double dxm = dx - Lx * std::nearbyint(dx / Lx);
+        double dym = dy - Ly * std::nearbyint(dy / Ly);
+        double xm2 = dxm * dxm, ym2 = dym * dym;
+        r_mi[i * 2 + s] = std::sqrt((z2 + xm2) + ym2);
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  int64_t chunk = (n + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+    if (lo >= hi) break;
+    threads.emplace_back(worker, lo, hi);
+  }
+  for (auto& th : threads) th.join();
 }
 
 // BFS wavefront layering (src/voronoi_utils.jl:93-174): layer 1 = sites

@@ -177,6 +177,55 @@ def topo_levels(upwind, active, is_bc):
     return _py_topo_levels(up, act, bc)
 
 
+def upwind_select(lines, neighbours, positions, k, compat_reference,
+                  Lx, Ly, n_threads=0):
+    """Native per-direction upwind selection + path lengths.
+
+    Returns (upwind (n,2) int32, d12 (n,2) cleaned dots, r_raw (n,2),
+    r_mi (n,2)) or None when the native symbol is unavailable (caller
+    falls back to the numpy path; the arithmetic is bit-identical --
+    tests/test_native_plan.py pins it)."""
+    lib = _load_lib()
+    if lib is None:
+        try:
+            lib = build_native()
+        except Exception:
+            return None
+    if lib is None or getattr(lib, "vrt_upwind_select", None) is None:
+        return None
+    fn = lib.vrt_upwind_select
+    if not hasattr(fn, "_configured"):
+        fn.restype = None
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_double),       # lines
+            ctypes.POINTER(ctypes.c_int32),        # neighbours
+            ctypes.POINTER(ctypes.c_double),       # pos
+            ctypes.c_int64, ctypes.c_int,          # n, W
+            ctypes.POINTER(ctypes.c_double),       # k
+            ctypes.c_int,                          # compat_reference
+            ctypes.c_double, ctypes.c_double,      # Lx, Ly
+            ctypes.POINTER(ctypes.c_int32),        # upwind out
+            ctypes.POINTER(ctypes.c_double),       # d12 out
+            ctypes.POINTER(ctypes.c_double),       # r_raw out
+            ctypes.POINTER(ctypes.c_double),       # r_mi out
+            ctypes.c_int]
+        fn._configured = True
+    n, w1 = neighbours.shape
+    W = w1 - 1
+    lines_c = np.ascontiguousarray(lines, dtype=np.float64)
+    nb_c = np.ascontiguousarray(neighbours, dtype=np.int32)
+    pos_c = np.ascontiguousarray(positions, dtype=np.float64)
+    k_c = np.ascontiguousarray(k, dtype=np.float64)
+    upwind = np.empty((n, 2), dtype=np.int32)
+    d12 = np.empty((n, 2), dtype=np.float64)
+    r_raw = np.empty((n, 2), dtype=np.float64)
+    r_mi = np.empty((n, 2), dtype=np.float64)
+    fn(_cp(lines_c), _ci(nb_c), _cp(pos_c), n, W, _cp(k_c),
+       int(compat_reference), float(Lx), float(Ly),
+       _ci(upwind), _cp(d12), _cp(r_raw), _cp(r_mi), int(n_threads))
+    return upwind, d12, r_raw, r_mi
+
+
 def _py_topo_levels(upwind, active, is_bc):
     """Pure-numpy fallback (round-per-level; fine for test sizes)."""
     n = len(is_bc)

@@ -415,6 +415,23 @@ def build_voronoi_plan(sites: VoronoiSites, k, up, p=7.0,
 
     nb = sites.neighbours
     W = nb.shape[1] - 1
+    z_min, z_max, x_min, x_max, y_min, y_max = sites.bounds
+    Lx_box, Ly_box = x_max - x_min, y_max - y_min
+
+    # native selection kernel (bit-identical to the numpy path below;
+    # the dots + streaming top-2 + path lengths are the hot half of the
+    # host plan build at production site counts)
+    from .neighbors import upwind_select
+    native = upwind_select(sites.delaunay_lines, nb, sites.positions, k,
+                           compat == "reference", Lx_box, Ly_box)
+    if native is not None:
+        upwind, d12, r_raw_pair, r_mi_pair = native
+        d1, d2 = d12[:, 0].copy(), d12[:, 1].copy()
+        r_mi = r_mi_pair
+        r = r_raw_pair if compat == "reference" else r_mi_pair
+        return _assemble_plan(sites, k, up, p, compat, order, n_sweeps,
+                              upwind, d1, d2, r, r_mi, cache_dir, pkey)
+
     idx = nb[:, 1:].astype(np.int64)
     valid = (np.arange(W)[None, :] < nb[:, :1]) & (idx >= 0)
 
@@ -462,12 +479,6 @@ def build_voronoi_plan(sites: VoronoiSites, k, up, p=7.0,
     d2 = np.where(bad2, 0.0, d2)
     d1 = np.maximum(np.where(np.isfinite(d1), d1, 0.0), 0.0)
 
-    w1p = d1 ** p
-    w2p = d2 ** p
-    tot = w1p + w2p
-    tot = np.where(tot > 0, tot, 1.0)
-    weights = np.stack([w1p / tot, w2p / tot], axis=1)
-
     # path lengths: one fancy-index pass; the min-image variant (r when
     # compat != 'reference'; always the wavefront bin resolution) derives
     # from the same deltas instead of re-gathering pos[upwind]
@@ -475,8 +486,6 @@ def build_voronoi_plan(sites: VoronoiSites, k, up, p=7.0,
     upwind = np.stack([up1, up2], axis=1).astype(np.int32)
     d_vec = pos[upwind]
     d_vec -= pos[:, None, :]
-    z_min, z_max, x_min, x_max, y_min, y_max = sites.bounds
-    Lx_box, Ly_box = x_max - x_min, y_max - y_min
     r_raw = (np.linalg.norm(d_vec, axis=-1)
              if compat == "reference" else None)
     r_mi = None
@@ -485,6 +494,25 @@ def build_voronoi_plan(sites: VoronoiSites, k, up, p=7.0,
         d_vec[..., 2] -= Ly_box * np.round(d_vec[..., 2] / Ly_box)
         r_mi = np.linalg.norm(d_vec, axis=-1)
     r = r_raw if compat == "reference" else r_mi
+    return _assemble_plan(sites, k, up, p, compat, order, n_sweeps,
+                          upwind, d1, d2, r, r_mi, cache_dir, pkey)
+
+
+def _assemble_plan(sites, k, up, p, compat, order, n_sweeps, upwind,
+                   d1, d2, r, r_mi, cache_dir, pkey):
+    """Blend weights + schedule construction from the selected upwinds
+    (shared by the native and numpy selection paths)."""
+    from . import cache as _cache
+    n = sites.n
+    pos = sites.positions
+    z_min, z_max, x_min, x_max, y_min, y_max = sites.bounds
+    Lx_box, Ly_box = x_max - x_min, y_max - y_min
+
+    w1p = d1 ** p
+    w2p = d2 ** p
+    tot = w1p + w2p
+    tot = np.where(tot > 0, tot, 1.0)
+    weights = np.stack([w1p / tot, w2p / tot], axis=1)
 
     layers = sites.layers_up if up else sites.layers_down
     L = int(layers.max())

@@ -49,6 +49,34 @@ import numpy as np
 from .formal import linear_weights, bezier_weights, bezier_control
 
 
+# Kernel-choice knobs, read from the environment ONCE at import (an
+# os.environ read inside a traced function is invisible to the jit
+# cache key and silently bakes into compiled code).  Override at
+# runtime through set_kernel_options, which also clears the jit caches
+# so the change actually takes effect.
+import os as _os
+KERNEL_OPTIONS = {
+    "pallas": _os.environ.get("VRT_PALLAS") == "1",
+    "pallas_march": _os.environ.get("VRT_PALLAS_MARCH") == "1",
+    "march_unroll": int(_os.environ.get("VRT_MARCH_UNROLL", "8")),
+}
+
+
+def set_kernel_options(pallas=None, pallas_march=None, march_unroll=None):
+    """Set the kernel-choice knobs (Pallas opt-ins, march unroll).
+
+    Clears the jax jit caches: the knobs are trace-time constants, so a
+    change must invalidate previously compiled sweeps."""
+    import jax as _jax
+    if pallas is not None:
+        KERNEL_OPTIONS["pallas"] = bool(pallas)
+    if pallas_march is not None:
+        KERNEL_OPTIONS["pallas_march"] = bool(pallas_march)
+    if march_unroll is not None:
+        KERNEL_OPTIONS["march_unroll"] = int(march_unroll)
+    _jax.clear_caches()
+
+
 # --------------------------------------------------------------- planning
 
 def xy_intersect(k):
@@ -308,8 +336,7 @@ def _march_step(r, f_line, s_base, n_sweeps, w_cur, cols, centre_cols,
     # Unroll U columns per scan step: the column chain is sequential, but
     # per-step loop overhead dominates the (B, Ny) line update, so
     # amortizing it over U inlined updates is a large win on TPU.
-    import os
-    U_max = int(os.environ.get("VRT_MARCH_UNROLL", "8"))
+    U_max = KERNEL_OPTIONS["march_unroll"]
     U = 1
     if U_max > 1:   # VRT_MARCH_UNROLL<=1 = explicit un-unrolled scan
         for cand in (U_max, U_max // 2, 8, 4, 2):
@@ -424,10 +451,9 @@ def _use_pallas(dtype):
     for some kernel shapes -- so the portable XLA formulation is the
     default until the compile path is dependable (docs/ROADMAP.md).
     """
-    import os
     return (dtype == jnp.float32
             and jax.default_backend() in ("tpu", "axon")
-            and os.environ.get("VRT_PALLAS") == "1")
+            and KERNEL_OPTIONS["pallas"])
 
 
 @partial(jax.jit, static_argnames=("plan", "n_sweeps", "interpolation"))
@@ -506,12 +532,11 @@ def sweep(plan: RegularPlan, S, alpha, I0, z_unused=None, n_sweeps=3,
         else:
             centre = "prev" if (seg.case == "xz" and not plan.up) else "cur"
             # Marching default = unrolled XLA scan; the VMEM-resident
-            # Pallas march additionally needs VRT_PALLAS_MARCH=1 (ties
+            # Pallas march additionally needs the pallas_march knob (ties
             # the XLA runtime on v5e; constrained by Mosaic sublane
             # divisibility + double-buffer VMEM at 256^2 planes).
-            import os
             pallas_path = (_use_pallas(S.dtype)
-                           and os.environ.get("VRT_PALLAS_MARCH") == "1")
+                           and KERNEL_OPTIONS["pallas_march"])
 
             if pallas_path:
                 from .pallas_march import march_plane_pallas

@@ -56,6 +56,12 @@ def main():
     ap.add_argument("--f32", action="store_true",
                     help="float32 end to end (the TPU production mode; "
                          "default is float64 for validation runs)")
+    ap.add_argument("--boost", type=float, default=2.0e9,
+                    help="collisional-rate boost (rates.jl:3; the "
+                         "reference's 2e9 drives the destruction "
+                         "probability to ~1 and the iteration "
+                         "converges in a few steps -- lower it for "
+                         "deep-NLTE convergence studies)")
     ap.add_argument("--rates-chunk", type=int, default=0,
                     help="stream the rates/SE update over site slabs "
                          "of this size (production memory path); 0 = "
@@ -89,7 +95,7 @@ def main():
 
     cfg = Config(eps=args.eps, maxiter=args.maxiter, nlam_bb=args.nlam_bb,
                  nlam_bf=args.nlam_bf, quadrature=args.quadrature,
-                 seed=args.seed,
+                 seed=args.seed, boost=args.boost,
                  formal_interpolation=args.interpolation,
                  voronoi_order=args.voronoi_order,
                  lambda_chunk=args.lambda_chunk or None,

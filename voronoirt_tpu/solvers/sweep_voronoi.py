@@ -456,7 +456,7 @@ def _block_src_ew(SA, B, xs, W):
     return ew, src
 
 
-def _stage_scan_hoisted(I, SA, B, stage_xs, W, passes):
+def _stage_scan_hoisted(SA, B, stage_xs, W, passes):
     """_stage_scan with the field-dependent weights precomputed for the
     WHOLE stage up front (one scan over blocks), returning a repeat
     closure that replays the levels paying only the sequential I
@@ -544,7 +544,7 @@ def _sweep_slots(shapes, relax_tol, stage_arrays, slot_gather, site_gather,
         rows = int(np.prod(xs[1].shape[:3]))
         hoist = rows * 2 * B * 4 * 2 <= _HOIST_BUDGET_BYTES
         if hoist:
-            lap = _stage_scan_hoisted(I, SA, B, xs, W, passes)
+            lap = _stage_scan_hoisted(SA, B, xs, W, passes)
         else:
             def lap(I, xs=xs):
                 return _stage_scan(I, SA, B, xs, W, passes)

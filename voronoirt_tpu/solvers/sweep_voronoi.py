@@ -348,6 +348,11 @@ _LEVEL_UNROLL = 1
 # arrays, while the 442k relax stages (~0.7 GB at B=96) still qualify
 _HOIST_BUDGET_BYTES = 1 << 30
 
+# row stride of the relax-convergence sample (see _sweep_slots): the
+# adaptive exit estimates the lap sup-change on every Nth slot row so
+# the while carry keeps a single full intensity buffer
+_DIFF_STRIDE = 64
+
 
 def _device_arrays(sp, block=_LEVEL_BLOCK):
     """Device-resident geometry, built once per slot plan (re-uploading
@@ -387,7 +392,16 @@ def _device_arrays(sp, block=_LEVEL_BLOCK):
                      jnp.asarray(w.reshape(Lb, K, W, 2)),
                      jnp.asarray(r.reshape(Lb, K, W, 2)),
                      jnp.asarray(st.repeats, jnp.int32)))
-            cache = (tuple(stage_arrays), jnp.asarray(sp.slot_gather),
+            # extend the slot->site gather to cover the dummy row and
+            # the block slices' overhang so ONE take builds the padded
+            # slot arrays (rows read site 0; all their consumers carry
+            # weight 0 / path length 0)
+            sa_pad = max((int(np.prod(x[1].shape[1:3]))
+                          for x in stage_arrays), default=0)
+            slot_ext = np.concatenate(
+                [sp.slot_gather,
+                 np.zeros(1 + sa_pad, dtype=sp.slot_gather.dtype)])
+            cache = (tuple(stage_arrays), jnp.asarray(slot_ext),
                      jnp.asarray(sp.site_gather))
         object.__setattr__(sp, "_dev_cache", cache)
     return cache
@@ -395,20 +409,19 @@ def _device_arrays(sp, block=_LEVEL_BLOCK):
 
 # ---------------------------------------------------------- device sweep
 
-def _stage_scan(I, SA, B, stage_xs, W, passes):
+def _stage_scan(I, S_sl, a_sl, B, stage_xs, W, passes):
     """Blocked lax.scan over one stage's levels.
 
     I: (n_slots + 1 + W_scratch, B) intensities (dummy zero row at
-    n_slots, pad-level scratch after it); SA: (n_slots + 1 + pad, 2B)
-    source/extinction packed along lanes.  Outer scan walks K-level
-    blocks: ONE batched SA gather + slice precomputes the
+    n_slots, pad-level scratch after it); S_sl/a_sl: (n_slots + 1 +
+    pad, B) slot-ordered source/extinction.  Outer scan walks K-level
+    blocks: batched S/alpha gathers + contiguous slices precompute the
     field-dependent weights for the whole block (levels occupy
-    consecutive slot rows, so the block's own rows are one contiguous
-    dynamic_slice); the inner scan then walks the block's levels with
-    only the irreducibly sequential work left: flat-take the 2 upwind
-    I rows, fused formal solution, contiguous dynamic_update_slice.
-    Arithmetic is expression-for-expression that of the naive per-level
-    scan -- results are bitwise identical."""
+    consecutive slot rows); the inner scan then walks the block's
+    levels with only the irreducibly sequential work left: flat-take
+    the 2 upwind I rows, fused formal solution, contiguous
+    dynamic_update_slice.  Arithmetic is expression-for-expression that
+    of the naive per-level scan -- results are bitwise identical."""
 
     def block(I, xs):
         starts, up, w2, ew, src = xs
@@ -429,7 +442,7 @@ def _stage_scan(I, SA, B, stage_xs, W, passes):
         return I, None
 
     def block_fused(I, xs):
-        ew, src = _block_src_ew(SA, B, xs, W)
+        ew, src = _block_src_ew(S_sl, a_sl, B, xs, W)
         starts, up, w2, _ = xs
         return block(I, (starts, up, w2, ew, src))
 
@@ -437,26 +450,27 @@ def _stage_scan(I, SA, B, stage_xs, W, passes):
     return I
 
 
-def _block_src_ew(SA, B, xs, W):
-    """Field-dependent weights for one K-level block: ONE batched SA
-    gather + one contiguous slice (the block's levels occupy consecutive
-    slot rows), then the formal-solution weights."""
+def _block_src_ew(S_sl, a_sl, B, xs, W):
+    """Field-dependent weights for one K-level block: one batched
+    gather per field + one contiguous slice (the block's levels occupy
+    consecutive slot rows), then the formal-solution weights."""
     starts, up, w2, r2 = xs        # (K,), (K,W,2), (K,W,2), (K,W,2)
     K = starts.shape[0]
     zero = jnp.zeros((), starts.dtype)
     flat_blk = up.reshape(-1)
-    sa_u = jnp.take(SA, flat_blk, axis=0).reshape(K, W, 2, 2 * B)
-    s_u, a_u = sa_u[..., :B], sa_u[..., B:]
-    sa_c = jax.lax.dynamic_slice(
-        SA, (starts[0], zero), (K * W, 2 * B)).reshape(K, W, 2 * B)
-    s_c, a_c = sa_c[..., :B], sa_c[..., B:]
+    s_u = jnp.take(S_sl, flat_blk, axis=0).reshape(K, W, 2, B)
+    a_u = jnp.take(a_sl, flat_blk, axis=0).reshape(K, W, 2, B)
+    s_c = jax.lax.dynamic_slice(
+        S_sl, (starts[0], zero), (K * W, B)).reshape(K, W, B)
+    a_c = jax.lax.dynamic_slice(
+        a_sl, (starts[0], zero), (K * W, B)).reshape(K, W, B)
     dtau = r2[..., None] * (a_c[:, :, None] + a_u) * 0.5
     aw, bw, ew = linear_weights(dtau)
     src = aw * s_u + bw * s_c[:, :, None]
     return ew, src
 
 
-def _stage_scan_hoisted(SA, B, stage_xs, W, passes):
+def _stage_scan_hoisted(S_sl, a_sl, B, stage_xs, W, passes):
     """_stage_scan with the field-dependent weights precomputed for the
     WHOLE stage up front (one scan over blocks), returning a repeat
     closure that replays the levels paying only the sequential I
@@ -464,7 +478,7 @@ def _stage_scan_hoisted(SA, B, stage_xs, W, passes):
     re-gather S/alpha and re-evaluate the exp weights every lap;
     expression-for-expression identical to _stage_scan (bitwise)."""
     def pre(_, xs):
-        return None, _block_src_ew(SA, B, xs, W)
+        return None, _block_src_ew(S_sl, a_sl, B, xs, W)
 
     _, (ew, src) = jax.lax.scan(pre, None, stage_xs)
     starts, up, w2, _ = stage_xs
@@ -514,28 +528,33 @@ def _sweep_slots(shapes, relax_tol, stage_arrays, slot_gather, site_gather,
     fixed-count behaviour bitwise.
     """
     B, n = S.shape
-    n_slots = slot_gather.shape[0]
-    # static pad sizes from the blocked stage shapes: SA needs the
-    # trailing overhang of a mixed final block's contiguous slice
-    # (< K*W rows); I needs W scratch rows for pad-level writes
+    # static pad sizes from the blocked stage shapes: the slot arrays
+    # carry the trailing overhang of a mixed final block's contiguous
+    # slice (< K*W rows; included in the extended slot_gather); I needs
+    # W scratch rows for pad-level writes
     sa_pad = max((int(np.prod(xs[1].shape[1:3]))
                   for xs in stage_arrays), default=0)
     w_scratch = max((int(xs[1].shape[2]) for xs in stage_arrays),
                     default=0)
+    n_slots = slot_gather.shape[0] - 1 - sa_pad
 
-    def to_slots(A):
-        return jnp.take(A.T, slot_gather, axis=0)        # (n_slots, B)
-
-    SA = jnp.concatenate([to_slots(S), to_slots(alpha)], axis=1)
-    SA = jnp.concatenate(
-        [SA, jnp.zeros((1 + sa_pad, 2 * B), SA.dtype)], axis=0)
+    # ONE gather per field builds the padded slot arrays: the dummy and
+    # pad rows map to site 0 instead of a zero row -- every consumer of
+    # those rows carries blend weight 0 and path length 0, so the
+    # finite garbage they gather never reaches a real intensity (a
+    # separate zeros-concat would materialize a second full-size copy,
+    # ~3 GB of transient at the production scale).  slot_gather is
+    # pre-extended host-side in _device_arrays to cover the dummy row
+    # and the block slices' overhang.
+    S_sl = jnp.take(S.T, slot_gather, axis=0)
+    a_sl = jnp.take(alpha.T, slot_gather, axis=0)
     I = jnp.zeros((n_slots + 1 + w_scratch, B), dtype=S.dtype)
     I = jax.lax.dynamic_update_slice(I, I0.T.astype(S.dtype), (0, 0))
 
     for (kind, W, passes), (*xs, repeats) in zip(shapes, stage_arrays):
         xs = tuple(xs)
         if kind != "relax":
-            I = _stage_scan(I, SA, B, xs, W, passes)
+            I = _stage_scan(I, S_sl, a_sl, B, xs, W, passes)
             continue
         # relax stage: repeats re-run the whole schedule.  Precompute
         # the field-dependent weights once (they don't depend on I) so
@@ -544,30 +563,37 @@ def _sweep_slots(shapes, relax_tol, stage_arrays, slot_gather, site_gather,
         rows = int(np.prod(xs[1].shape[:3]))
         hoist = rows * 2 * B * 4 * 2 <= _HOIST_BUDGET_BYTES
         if hoist:
-            lap = _stage_scan_hoisted(SA, B, xs, W, passes)
+            lap = _stage_scan_hoisted(S_sl, a_sl, B, xs, W, passes)
         else:
             def lap(I, xs=xs):
-                return _stage_scan(I, SA, B, xs, W, passes)
+                return _stage_scan(I, S_sl, a_sl, B, xs, W, passes)
         if not relax_tol:
             I = jax.lax.fori_loop(0, repeats, lambda _, I: lap(I), I)
         else:
             # exit only after TWO consecutive sub-tol laps: a single lap
             # whose sup-change dips below tol on a stalled-but-unconverged
-            # low-opacity wrap chain must not truncate the schedule
+            # low-opacity wrap chain must not truncate the schedule.
+            # The sup-change is estimated on a strided row SAMPLE so the
+            # while carry holds ONE full intensity buffer, not two
+            # (1.5 GB at the production scale); the fixed repeat cap
+            # still bounds the schedule if the sample under-reports.
             def body(state):
-                i, I, streak = state
+                i, I, prev, streak = state
                 I_new = lap(I)
-                diff = jnp.max(jnp.abs(I_new - I))
-                scale = jnp.maximum(jnp.max(jnp.abs(I_new)),
+                samp = I_new[::_DIFF_STRIDE]
+                diff = jnp.max(jnp.abs(samp - prev))
+                scale = jnp.maximum(jnp.max(jnp.abs(samp)),
                                     jnp.asarray(1e-30, I.dtype))
                 sub = diff / scale <= relax_tol
-                return i + 1, I_new, jnp.where(sub, streak + 1, 0)
+                return (i + 1, I_new, samp,
+                        jnp.where(sub, streak + 1, 0))
 
             def cond(state):
-                i, _, streak = state
+                i, _, _, streak = state
                 return jnp.logical_and(i < repeats, streak < 2)
 
-            _, I, _ = jax.lax.while_loop(cond, body, (0, I, 0))
+            _, I, _, _ = jax.lax.while_loop(
+                cond, body, (0, I, I[::_DIFF_STRIDE], 0))
 
     return jnp.take(I, site_gather, axis=0).T            # (B, n)
 

@@ -105,7 +105,7 @@ def main():
     from voronoirt_tpu.physics import lyman_alpha_line
     from voronoirt_tpu.physics.planck import B_lambda
     from voronoirt_tpu.solvers.sweep_voronoi import (build_slot_plan,
-                                                     sweep_voronoi)
+                                                     sweep_voronoi_t)
 
     rec = {"n_sites_requested": args.n_sites, "order": args.order,
            "chunk": args.chunk, "iter_chunk": args.iter_chunk,
@@ -165,24 +165,27 @@ def main():
     from voronoirt_tpu.engine.lambda_iter import (_sync_interval, _drain,
                                                   _accum)
     sync_every = _sync_interval(4 * B * sites.n)
+    # site-major operands: sweeps gather straight from (n, B) fields
+    S = jnp.asarray(S.T)
+    alpha = jnp.asarray(alpha.T)
 
-    def J_pass(S):
-        J = jnp.zeros_like(S)
+    def J_pass(S_T):
+        J_T = jnp.zeros_like(S_T)
         for i in range(quad.n_angles):
             plan = eng.plans[i]
             if plan.up:
-                I0 = jnp.ones((B, len(plan.bc_sites)), S.dtype)
+                I0 = jnp.ones((B, len(plan.bc_sites)), S_T.dtype)
             else:
-                I0 = jnp.zeros((B, len(plan.bc_sites)), S.dtype)
-            J = _accum(J, sweep_voronoi(
-                plan, S, alpha, I0, n_sweeps=cfg.n_sweeps,
+                I0 = jnp.zeros((B, len(plan.bc_sites)), S_T.dtype)
+            J_T = _accum(J_T, sweep_voronoi_t(
+                plan, S_T, alpha, I0, n_sweeps=cfg.n_sweeps,
                 relax_tol=cfg.voronoi_relax_tol),
-                jnp.asarray(quad.weights[i], S.dtype))
+                jnp.asarray(quad.weights[i], S_T.dtype))
             # drain enqueue-ahead output buffers (wide chunks OOM with
-            # 12 x (B, n) sweep outputs allocated at dispatch)
+            # 12 x (n, B) sweep outputs allocated at dispatch)
             if (i + 1) % sync_every == 0:
-                _drain(J)
-        return J
+                _drain(J_T)
+        return J_T
 
     out = args.out or os.path.join(_ROOT, "BENCH_VORONOI.json")
 

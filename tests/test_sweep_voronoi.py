@@ -397,15 +397,16 @@ class TestShapeBucketing:
         from voronoirt_tpu.solvers.sweep_voronoi import (
             _device_arrays, _sweep_slots, build_slot_plan)
         sp = build_slot_plan(plan, 3, bucket=bucket)
-        S2 = jnp.asarray(S[None])
-        a2 = jnp.asarray(alpha[None])
+        S2 = jnp.asarray(S[:, None])
+        a2 = jnp.asarray(alpha[:, None])
         I02 = jnp.asarray(I0[None])
         if I02.shape[-1] < sp.n_bc:
             I02 = jnp.pad(I02, ((0, 0), (0, sp.n_bc - I02.shape[-1])))
-        shapes = tuple((st.kind, st.W, st.passes) for st in sp.stages)
-        sa, sg, tg = _device_arrays(sp)
+        sa, tg, n_slots = _device_arrays(sp)
+        shapes = (n_slots,
+                  tuple((st.kind, st.W, st.passes) for st in sp.stages))
         return np.asarray(
-            _sweep_slots(shapes, relax_tol, sa, sg, tg, S2, a2, I02))[0]
+            _sweep_slots(shapes, relax_tol, sa, tg, S2, a2, I02))[:, 0]
 
     @pytest.mark.parametrize("order,theta", [
         ("layer", 160.0),        # gs stage (compat exact Gauss-Seidel)

@@ -48,7 +48,8 @@ from ..physics.stateq import get_revised_populations
 from ..solvers.sweep_regular import (build_plan, sweep as sweep_regular,
                                      group_plans, sweep_group_J,
                                      flip_field)
-from ..solvers.sweep_voronoi import share_plan_shapes, sweep_voronoi
+from ..solvers.sweep_voronoi import (share_plan_shapes, sweep_voronoi,
+                                     sweep_voronoi_t)
 
 
 @dataclasses.dataclass
@@ -515,7 +516,11 @@ class VoronoiEngine:
                     populations=populations, lam=lam[sl])
                 partials = {}
             else:
-                Jc = jnp.zeros_like(S[sl])
+                # site-major layout through the sweeps: S transposed
+                # once per chunk, each angle's extinction once -- no
+                # transposes inside the per-direction executions
+                S_T = S[sl].T
+                Jc_T = jnp.zeros_like(S_T)
             for i in range(quad.n_angles):
                 k = quad.k[i]
                 plan = self.plans[i]
@@ -538,20 +543,27 @@ class VoronoiEngine:
                 else:
                     I0 = jnp.zeros((lam_c.shape[0],
                                     len(plan.bc_sites)), S.dtype)
-                I = sweep_voronoi(plan, S_c, a_tot, I0,
-                                  n_sweeps=self.cfg.n_sweeps,
-                                  relax_tol=self.cfg.voronoi_relax_tol)
                 if devs:
+                    I = sweep_voronoi(plan, S_c, a_tot, I0,
+                                      n_sweeps=self.cfg.n_sweeps,
+                                      relax_tol=self.cfg.voronoi_relax_tol)
                     _ang.partial_accumulate(partials, d,
                                             quad.weights[i] * I)
                 else:
-                    Jc = _accum(Jc, I, jnp.asarray(quad.weights[i],
-                                                   Jc.dtype))
+                    I_T = sweep_voronoi_t(
+                        plan, S_T, a_tot.T, I0,
+                        n_sweeps=self.cfg.n_sweeps,
+                        relax_tol=self.cfg.voronoi_relax_tol)
+                    Jc_T = _accum(Jc_T, I_T,
+                                  jnp.asarray(quad.weights[i],
+                                              Jc_T.dtype))
                     if (i + 1) % sync_every == 0:
-                        _drain(Jc)
+                        _drain(Jc_T)
             if devs:
                 Jc = _ang.reduce_partials(partials,
                                           _ang.target_device(S))
+            else:
+                Jc = Jc_T.T
             if J_buf is None:
                 return Jc
             J_buf = _write_rows(J_buf, Jc, sl.start)

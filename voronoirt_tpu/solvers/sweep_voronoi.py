@@ -370,6 +370,11 @@ def _device_arrays(sp, block=_LEVEL_BLOCK):
         # an outer jit trace (otherwise tracers leak into the cache and
         # poison every later call)
         with jax.ensure_compile_time_eval():
+            # slot id -> site id, dummy row included (site 0: its
+            # consumers all carry weight 0 / path length 0)
+            slot_full = np.concatenate(
+                [sp.slot_gather,
+                 np.zeros(1, dtype=sp.slot_gather.dtype)])
             stage_arrays = []
             for st in sp.stages:
                 L, W = st.L, st.W
@@ -382,6 +387,15 @@ def _device_arrays(sp, block=_LEVEL_BLOCK):
                 up = np.concatenate(
                     [st.up, np.full((padL, W, 2), sp.n_slots,
                                     st.up.dtype)])
+                # SITE-id maps: the field gathers read the (n, B)
+                # site-ordered arrays directly -- no slot-reordered
+                # copies of S/alpha are ever built on device
+                up_site = slot_full[up]
+                row_site = slot_full[
+                    st.base + np.arange(L * W, dtype=np.int64)].reshape(
+                        L, W)
+                row_site = np.concatenate(
+                    [row_site, np.zeros((padL, W), row_site.dtype)])
                 w = np.concatenate(
                     [st.w, np.zeros((padL, W, 2), st.w.dtype)])
                 r = np.concatenate(
@@ -389,37 +403,31 @@ def _device_arrays(sp, block=_LEVEL_BLOCK):
                 stage_arrays.append(
                     (jnp.asarray(starts.reshape(Lb, K)),
                      jnp.asarray(up.reshape(Lb, K, W, 2)),
+                     jnp.asarray(up_site.reshape(Lb, K, W, 2)),
+                     jnp.asarray(row_site.reshape(Lb, K, W)),
                      jnp.asarray(w.reshape(Lb, K, W, 2)),
                      jnp.asarray(r.reshape(Lb, K, W, 2)),
                      jnp.asarray(st.repeats, jnp.int32)))
-            # extend the slot->site gather to cover the dummy row and
-            # the block slices' overhang so ONE take builds the padded
-            # slot arrays (rows read site 0; all their consumers carry
-            # weight 0 / path length 0)
-            sa_pad = max((int(np.prod(x[1].shape[1:3]))
-                          for x in stage_arrays), default=0)
-            slot_ext = np.concatenate(
-                [sp.slot_gather,
-                 np.zeros(1 + sa_pad, dtype=sp.slot_gather.dtype)])
-            cache = (tuple(stage_arrays), jnp.asarray(slot_ext),
-                     jnp.asarray(sp.site_gather))
+            cache = (tuple(stage_arrays), jnp.asarray(sp.site_gather),
+                     int(sp.n_slots))
         object.__setattr__(sp, "_dev_cache", cache)
     return cache
 
 
 # ---------------------------------------------------------- device sweep
 
-def _stage_scan(I, S_sl, a_sl, B, stage_xs, W, passes):
+def _stage_scan(I, S_T, a_T, B, stage_xs, W, passes):
     """Blocked lax.scan over one stage's levels.
 
     I: (n_slots + 1 + W_scratch, B) intensities (dummy zero row at
-    n_slots, pad-level scratch after it); S_sl/a_sl: (n_slots + 1 +
-    pad, B) slot-ordered source/extinction.  Outer scan walks K-level
-    blocks: batched S/alpha gathers + contiguous slices precompute the
-    field-dependent weights for the whole block (levels occupy
-    consecutive slot rows); the inner scan then walks the block's
-    levels with only the irreducibly sequential work left: flat-take
-    the 2 upwind I rows, fused formal solution, contiguous
+    n_slots, pad-level scratch after it); S_T/a_T: (n, B) site-ordered
+    source/extinction -- the field gathers use host-precomputed SITE-id
+    maps, so no slot-reordered field copies exist on device.  Outer
+    scan walks K-level blocks: batched S/alpha gathers precompute the
+    field-dependent weights for the whole block; the inner scan then
+    walks the block's levels with only the irreducibly sequential work
+    left: flat-take the 2 upwind I rows (SLOT ids -- occurrence
+    semantics live in I), fused formal solution, contiguous
     dynamic_update_slice.  Arithmetic is expression-for-expression that
     of the naive per-level scan -- results are bitwise identical."""
 
@@ -442,47 +450,47 @@ def _stage_scan(I, S_sl, a_sl, B, stage_xs, W, passes):
         return I, None
 
     def block_fused(I, xs):
-        ew, src = _block_src_ew(S_sl, a_sl, B, xs, W)
-        starts, up, w2, _ = xs
-        return block(I, (starts, up, w2, ew, src))
+        starts, up_slot, up_site, row_site, w2, r2 = xs
+        ew, src = _block_src_ew(S_T, a_T, B,
+                                (up_site, row_site, r2), W)
+        return block(I, (starts, up_slot, w2, ew, src))
 
     I, _ = jax.lax.scan(block_fused, I, stage_xs)
     return I
 
 
-def _block_src_ew(S_sl, a_sl, B, xs, W):
-    """Field-dependent weights for one K-level block: one batched
-    gather per field + one contiguous slice (the block's levels occupy
-    consecutive slot rows), then the formal-solution weights."""
-    starts, up, w2, r2 = xs        # (K,), (K,W,2), (K,W,2), (K,W,2)
-    K = starts.shape[0]
-    zero = jnp.zeros((), starts.dtype)
-    flat_blk = up.reshape(-1)
-    s_u = jnp.take(S_sl, flat_blk, axis=0).reshape(K, W, 2, B)
-    a_u = jnp.take(a_sl, flat_blk, axis=0).reshape(K, W, 2, B)
-    s_c = jax.lax.dynamic_slice(
-        S_sl, (starts[0], zero), (K * W, B)).reshape(K, W, B)
-    a_c = jax.lax.dynamic_slice(
-        a_sl, (starts[0], zero), (K * W, B)).reshape(K, W, B)
+def _block_src_ew(S_T, a_T, B, xs, W):
+    """Field-dependent weights for one K-level block: batched gathers
+    of the upwind and own-site field values straight from the (n, B)
+    site-ordered arrays, then the formal-solution weights."""
+    up_site, row_site, r2 = xs     # (K,W,2), (K,W), (K,W,2)
+    K = up_site.shape[0]
+    fl = up_site.reshape(-1)
+    s_u = jnp.take(S_T, fl, axis=0).reshape(K, W, 2, B)
+    a_u = jnp.take(a_T, fl, axis=0).reshape(K, W, 2, B)
+    rs = row_site.reshape(-1)
+    s_c = jnp.take(S_T, rs, axis=0).reshape(K, W, B)
+    a_c = jnp.take(a_T, rs, axis=0).reshape(K, W, B)
     dtau = r2[..., None] * (a_c[:, :, None] + a_u) * 0.5
     aw, bw, ew = linear_weights(dtau)
     src = aw * s_u + bw * s_c[:, :, None]
     return ew, src
 
 
-def _stage_scan_hoisted(S_sl, a_sl, B, stage_xs, W, passes):
+def _stage_scan_hoisted(S_T, a_T, B, stage_xs, W, passes):
     """_stage_scan with the field-dependent weights precomputed for the
     WHOLE stage up front (one scan over blocks), returning a repeat
     closure that replays the levels paying only the sequential I
     gathers.  Used for relax stages, whose global repeats otherwise
     re-gather S/alpha and re-evaluate the exp weights every lap;
     expression-for-expression identical to _stage_scan (bitwise)."""
-    def pre(_, xs):
-        return None, _block_src_ew(S_sl, a_sl, B, xs, W)
+    starts, up_slot, up_site, row_site, w2, r2 = stage_xs
 
-    _, (ew, src) = jax.lax.scan(pre, None, stage_xs)
-    starts, up, w2, _ = stage_xs
-    lean_xs = (starts, up, w2, ew, src)
+    def pre(_, xs):
+        return None, _block_src_ew(S_T, a_T, B, xs, W)
+
+    _, (ew, src) = jax.lax.scan(pre, None, (up_site, row_site, r2))
+    lean_xs = (starts, up_slot, w2, ew, src)
 
     def run(I):
         def block(I, xs):
@@ -511,12 +519,14 @@ def _stage_scan_hoisted(S_sl, a_sl, B, stage_xs, W, passes):
 
 
 @partial(jax.jit, static_argnames=("shapes", "relax_tol"))
-def _sweep_slots(shapes, relax_tol, stage_arrays, slot_gather, site_gather,
-                 S, alpha, I0):
-    """shapes: static tuple of (kind, W, passes) per stage;
-    stage_arrays: per-stage (starts, up, w, r, repeats) traced arrays --
-    repeats is traced (not static) so directions whose relax schedules
-    differ only in repeat count share one compiled sweep.
+def _sweep_slots(shapes, relax_tol, stage_arrays, site_gather,
+                 S_T, a_T, I0):
+    """shapes: static (n_slots, ((kind, W, passes), ...)); stage_arrays:
+    per-stage (starts, up_slot, up_site, row_site, w, r, repeats)
+    traced arrays -- repeats is traced (not static) so directions whose
+    relax schedules differ only in repeat count share one compiled
+    sweep.  S_T/a_T: (n, B) site-ordered fields (pre-transposed by the
+    caller; sweep_voronoi_t avoids re-transposing per direction).
 
     relax_tol > 0 turns the global repeats of a relax stage (seam-wrap
     sequencing, grid/voronoi.py) into an adaptive while loop that exits
@@ -527,34 +537,19 @@ def _sweep_slots(shapes, relax_tol, stage_arrays, slot_gather, site_gather,
     every repeat and runs the full count.  relax_tol == 0 reproduces the
     fixed-count behaviour bitwise.
     """
-    B, n = S.shape
-    # static pad sizes from the blocked stage shapes: the slot arrays
-    # carry the trailing overhang of a mixed final block's contiguous
-    # slice (< K*W rows; included in the extended slot_gather); I needs
-    # W scratch rows for pad-level writes
-    sa_pad = max((int(np.prod(xs[1].shape[1:3]))
-                  for xs in stage_arrays), default=0)
+    n, B = S_T.shape
+    n_slots, stage_shapes = shapes
+    # I needs W scratch rows for pad-level writes
     w_scratch = max((int(xs[1].shape[2]) for xs in stage_arrays),
                     default=0)
-    n_slots = slot_gather.shape[0] - 1 - sa_pad
+    I = jnp.zeros((n_slots + 1 + w_scratch, B), dtype=S_T.dtype)
+    I = jax.lax.dynamic_update_slice(I, I0.T.astype(S_T.dtype), (0, 0))
 
-    # ONE gather per field builds the padded slot arrays: the dummy and
-    # pad rows map to site 0 instead of a zero row -- every consumer of
-    # those rows carries blend weight 0 and path length 0, so the
-    # finite garbage they gather never reaches a real intensity (a
-    # separate zeros-concat would materialize a second full-size copy,
-    # ~3 GB of transient at the production scale).  slot_gather is
-    # pre-extended host-side in _device_arrays to cover the dummy row
-    # and the block slices' overhang.
-    S_sl = jnp.take(S.T, slot_gather, axis=0)
-    a_sl = jnp.take(alpha.T, slot_gather, axis=0)
-    I = jnp.zeros((n_slots + 1 + w_scratch, B), dtype=S.dtype)
-    I = jax.lax.dynamic_update_slice(I, I0.T.astype(S.dtype), (0, 0))
-
-    for (kind, W, passes), (*xs, repeats) in zip(shapes, stage_arrays):
+    for (kind, W, passes), (*xs, repeats) in zip(stage_shapes,
+                                                 stage_arrays):
         xs = tuple(xs)
         if kind != "relax":
-            I = _stage_scan(I, S_sl, a_sl, B, xs, W, passes)
+            I = _stage_scan(I, S_T, a_T, B, xs, W, passes)
             continue
         # relax stage: repeats re-run the whole schedule.  Precompute
         # the field-dependent weights once (they don't depend on I) so
@@ -563,10 +558,10 @@ def _sweep_slots(shapes, relax_tol, stage_arrays, slot_gather, site_gather,
         rows = int(np.prod(xs[1].shape[:3]))
         hoist = rows * 2 * B * 4 * 2 <= _HOIST_BUDGET_BYTES
         if hoist:
-            lap = _stage_scan_hoisted(S_sl, a_sl, B, xs, W, passes)
+            lap = _stage_scan_hoisted(S_T, a_T, B, xs, W, passes)
         else:
             def lap(I, xs=xs):
-                return _stage_scan(I, S_sl, a_sl, B, xs, W, passes)
+                return _stage_scan(I, S_T, a_T, B, xs, W, passes)
         if not relax_tol:
             I = jax.lax.fori_loop(0, repeats, lambda _, I: lap(I), I)
         else:
@@ -595,7 +590,25 @@ def _sweep_slots(shapes, relax_tol, stage_arrays, slot_gather, site_gather,
             _, I, _, _ = jax.lax.while_loop(
                 cond, body, (0, I, I[::_DIFF_STRIDE], 0))
 
-    return jnp.take(I, site_gather, axis=0).T            # (B, n)
+    return jnp.take(I, site_gather, axis=0)              # (n, B)
+
+
+def sweep_voronoi_t(plan, S_T, a_T, I0, n_sweeps=3, relax_tol=0.0):
+    """sweep_voronoi on pre-transposed (n, B) fields.
+
+    The production entry point: callers that sweep many directions per
+    lambda chunk transpose S once and each direction's extinction once,
+    so no (B, n) -> (n, B) copies happen inside the per-direction
+    executions (2.6 GB of per-direction transient at the 3.5e6-site
+    scale).  Returns I as (n, B)."""
+    sp = build_slot_plan(plan, n_sweeps)
+    if I0.shape[-1] < sp.n_bc:      # bucketed bc block: pad writes zeros
+        I0 = jnp.pad(I0, ((0, 0), (0, sp.n_bc - I0.shape[-1])))
+    stage_arrays, site_gather, n_slots = _device_arrays(sp)
+    shapes = (n_slots,
+              tuple((st.kind, st.W, st.passes) for st in sp.stages))
+    return _sweep_slots(shapes, float(relax_tol), stage_arrays,
+                        site_gather, S_T, a_T, I0)
 
 
 def sweep_voronoi(plan, S, alpha, I0, n_sweeps=3, relax_tol=0.0):
@@ -614,11 +627,7 @@ def sweep_voronoi(plan, S, alpha, I0, n_sweeps=3, relax_tol=0.0):
     squeeze = S.ndim == 1
     if squeeze:
         S, alpha, I0 = S[None], alpha[None], I0[None]
-    sp = build_slot_plan(plan, n_sweeps)
-    if I0.shape[-1] < sp.n_bc:      # bucketed bc block: pad writes zeros
-        I0 = jnp.pad(I0, ((0, 0), (0, sp.n_bc - I0.shape[-1])))
-    shapes = tuple((st.kind, st.W, st.passes) for st in sp.stages)
-    stage_arrays, slot_gather, site_gather = _device_arrays(sp)
-    I = _sweep_slots(shapes, float(relax_tol), stage_arrays, slot_gather,
-                     site_gather, S, alpha, I0)
+    I_T = sweep_voronoi_t(plan, S.T, alpha.T, I0, n_sweeps=n_sweeps,
+                          relax_tol=relax_tol)
+    I = I_T.T
     return I[0] if squeeze else I

@@ -328,41 +328,17 @@ def build_slot_plan(plan, n_sweeps=3, bucket=True):
     return sp
 
 
-# levels per block of the two-level stage scan: the S/alpha gather for
-# a whole block is hoisted into ONE batched take (per-row transaction
-# cost dominates TPU gathers, and the hoist also packs S and alpha into
-# one 2B-lane row, halving row transactions for B <= 64), while the
-# sequential I gather stays per level.  8 amortizes the hoist without
-# inflating the block temporaries (K*W*2*B elements).
-_LEVEL_BLOCK = 8
-
-# unroll factor of the inner level scan (measured at 442k sites, B=91:
-# unroll=4 changes nothing -- the level cost is gather-bound, not
-# loop-overhead-bound -- so stay at 1 and keep compiles small)
-_LEVEL_UNROLL = 1
-
-# static memory budget for hoisting a relax stage's precomputed (src,
-# ew) pair out of its repeat loop (bytes); stages above it recompute
-# per lap inside the blocked scan instead.  1 GB: the 3.5e6-site
-# production iteration OOMed with a 2.7 GB hoist next to its slot
-# arrays, while the 442k relax stages (~0.7 GB at B=96) still qualify
-_HOIST_BUDGET_BYTES = 1 << 30
-
-# row stride of the relax-convergence sample (see _sweep_slots): the
-# adaptive exit estimates the lap sup-change on every Nth slot row so
-# the while carry keeps a single full intensity buffer
-_DIFF_STRIDE = 64
-
-
-def _device_arrays(sp, block=_LEVEL_BLOCK):
+def _device_arrays(sp):
     """Device-resident geometry, built once per slot plan (re-uploading
     ~10 MB of indices/weights per sweep through a remote-TPU tunnel
     costs more than the sweep itself).
 
-    Stages are reshaped into (Lb, K, ...) level blocks for the blocked
-    stage scan; pad levels write into the I scratch rows (start =
-    n_slots + 1) and gather the dummy zero slot with weight 0, so
-    results are bitwise those of the unblocked per-level scan."""
+    One flat per-level schedule per stage.  NOTE: the stage scan is a
+    SINGLE lax.scan -- measured on v5e, every level of loop nesting
+    doubles XLA's buffering of the carried intensity array (a nested
+    while->scan->scan relax stage was assigned 14.8 GiB of temp at
+    3.5e6 sites x 91 lambda), so the flat form is what makes the
+    production shapes fit."""
     cache = getattr(sp, "_dev_cache", None)
     if cache is None:
         # ensure_compile_time_eval: the cache must hold REAL device
@@ -378,36 +354,22 @@ def _device_arrays(sp, block=_LEVEL_BLOCK):
             stage_arrays = []
             for st in sp.stages:
                 L, W = st.L, st.W
-                K = max(1, min(block, L))
-                Lb = -(-L // K) if L else 0
-                padL = Lb * K - L
                 starts = st.base + np.arange(L, dtype=np.int32) * W
-                starts = np.concatenate(
-                    [starts, np.full(padL, sp.n_slots + 1, np.int32)])
-                up = np.concatenate(
-                    [st.up, np.full((padL, W, 2), sp.n_slots,
-                                    st.up.dtype)])
                 # SITE-id maps: the field gathers read the (n, B)
                 # site-ordered arrays directly -- no slot-reordered
                 # copies of S/alpha are ever built on device
-                up_site = slot_full[up]
+                up_site = slot_full[st.up]
                 row_site = slot_full[
                     st.base + np.arange(L * W, dtype=np.int64)].reshape(
                         L, W)
-                row_site = np.concatenate(
-                    [row_site, np.zeros((padL, W), row_site.dtype)])
-                w = np.concatenate(
-                    [st.w, np.zeros((padL, W, 2), st.w.dtype)])
-                r = np.concatenate(
-                    [st.r, np.zeros((padL, W, 2), st.r.dtype)])
                 stage_arrays.append(
-                    (jnp.asarray(starts.reshape(Lb, K)),
-                     jnp.asarray(up.reshape(Lb, K, W, 2)),
-                     jnp.asarray(up_site.reshape(Lb, K, W, 2)),
-                     jnp.asarray(row_site.reshape(Lb, K, W)),
-                     jnp.asarray(w.reshape(Lb, K, W, 2)),
-                     jnp.asarray(r.reshape(Lb, K, W, 2)),
-                     jnp.asarray(st.repeats, jnp.int32)))
+                    (jnp.asarray(starts),
+                     jnp.asarray(st.up),
+                     jnp.asarray(up_site),
+                     jnp.asarray(row_site),
+                     jnp.asarray(st.w),
+                     jnp.asarray(st.r),
+                     int(st.repeats)))
             cache = (tuple(stage_arrays), jnp.asarray(sp.site_gather),
                      int(sp.n_slots))
         object.__setattr__(sp, "_dev_cache", cache)
@@ -416,181 +378,196 @@ def _device_arrays(sp, block=_LEVEL_BLOCK):
 
 # ---------------------------------------------------------- device sweep
 
-def _stage_scan(I, S_T, a_T, B, stage_xs, W, passes):
-    """Blocked lax.scan over one stage's levels.
+# static memory budget for hoisting a relax stage's precomputed (src,
+# ew) pair out of its repeat loop (bytes); stages above it recompute
+# per lap inside the stage scan
+_HOIST_BUDGET_BYTES = 1 << 30
 
-    I: (n_slots + 1 + W_scratch, B) intensities (dummy zero row at
-    n_slots, pad-level scratch after it); S_T/a_T: (n, B) site-ordered
-    source/extinction -- the field gathers use host-precomputed SITE-id
-    maps, so no slot-reordered field copies exist on device.  Outer
-    scan walks K-level blocks: batched S/alpha gathers precompute the
-    field-dependent weights for the whole block; the inner scan then
-    walks the block's levels with only the irreducibly sequential work
-    left: flat-take the 2 upwind I rows (SLOT ids -- occurrence
-    semantics live in I), fused formal solution, contiguous
-    dynamic_update_slice.  Arithmetic is expression-for-expression that
-    of the naive per-level scan -- results are bitwise identical."""
-
-    def block(I, xs):
-        starts, up, w2, ew, src = xs
-        zero = jnp.zeros((), starts.dtype)
-
-        def level(I, lxs):
-            start, upl, w2l, ewl, srcl = lxs
-            fl = upl.reshape(-1)
-            for _ in range(passes):
-                i_u = jnp.take(I, fl, axis=0).reshape(W, 2, B)
-                i_new = jnp.sum(w2l[..., None] * (ewl * i_u + srcl),
-                                axis=1)
-                I = jax.lax.dynamic_update_slice(I, i_new, (start, zero))
-            return I, None
-
-        I, _ = jax.lax.scan(level, I, (starts, up, w2, ew, src),
-                            unroll=_LEVEL_UNROLL)
-        return I, None
-
-    def block_fused(I, xs):
-        starts, up_slot, up_site, row_site, w2, r2 = xs
-        ew, src = _block_src_ew(S_T, a_T, B,
-                                (up_site, row_site, r2), W)
-        return block(I, (starts, up_slot, w2, ew, src))
-
-    I, _ = jax.lax.scan(block_fused, I, stage_xs)
-    return I
+# row stride of the relax-convergence sample (see _sweep_slots): the
+# adaptive exit estimates the lap sup-change on every Nth slot row so
+# the while carry keeps a single full intensity buffer
+_DIFF_STRIDE = 64
 
 
-def _block_src_ew(S_T, a_T, B, xs, W):
-    """Field-dependent weights for one K-level block: batched gathers
-    of the upwind and own-site field values straight from the (n, B)
-    site-ordered arrays, then the formal-solution weights."""
-    up_site, row_site, r2 = xs     # (K,W,2), (K,W), (K,W,2)
-    K = up_site.shape[0]
-    fl = up_site.reshape(-1)
-    s_u = jnp.take(S_T, fl, axis=0).reshape(K, W, 2, B)
-    a_u = jnp.take(a_T, fl, axis=0).reshape(K, W, 2, B)
-    rs = row_site.reshape(-1)
-    s_c = jnp.take(S_T, rs, axis=0).reshape(K, W, B)
-    a_c = jnp.take(a_T, rs, axis=0).reshape(K, W, B)
-    dtau = r2[..., None] * (a_c[:, :, None] + a_u) * 0.5
+def _level_src_ew(S_T, a_T, B, up_site, row_site, r2):
+    """Field-dependent weights for one level (or a whole stage when the
+    leading axis is L): gathers of the upwind and own-site field values
+    straight from the (n, B) site-ordered arrays."""
+    s_u = jnp.take(S_T, up_site.reshape(-1), axis=0).reshape(
+        up_site.shape + (B,))
+    a_u = jnp.take(a_T, up_site.reshape(-1), axis=0).reshape(
+        up_site.shape + (B,))
+    s_c = jnp.take(S_T, row_site.reshape(-1), axis=0).reshape(
+        row_site.shape + (B,))
+    a_c = jnp.take(a_T, row_site.reshape(-1), axis=0).reshape(
+        row_site.shape + (B,))
+    dtau = r2[..., None] * (a_c[..., None, :] + a_u) * 0.5
     aw, bw, ew = linear_weights(dtau)
-    src = aw * s_u + bw * s_c[:, :, None]
+    src = aw * s_u + bw * s_c[..., None, :]
     return ew, src
 
 
-def _stage_scan_hoisted(S_T, a_T, B, stage_xs, W, passes):
-    """_stage_scan with the field-dependent weights precomputed for the
-    WHOLE stage up front (one scan over blocks), returning a repeat
-    closure that replays the levels paying only the sequential I
-    gathers.  Used for relax stages, whose global repeats otherwise
-    re-gather S/alpha and re-evaluate the exp weights every lap;
-    expression-for-expression identical to _stage_scan (bitwise)."""
-    starts, up_slot, up_site, row_site, w2, r2 = stage_xs
+def _stage_scan(I, S_T, a_T, B, stage_xs, W, passes):
+    """ONE flat lax.scan over a stage's levels.
 
-    def pre(_, xs):
-        return None, _block_src_ew(S_T, a_T, B, xs, W)
+    I: (n_slots + 1, B) intensities (dummy zero row at n_slots);
+    S_T/a_T: (n, B) site-ordered source/extinction read through
+    host-precomputed SITE-id maps (no slot-reordered field copies exist
+    on device).  Per level: gather the upwind/own field values, form
+    the formal-solution weights, then the irreducibly sequential part:
+    flat-take the 2 upwind I rows (SLOT ids -- occurrence semantics
+    live in I), fused formal solution, contiguous dynamic_update_slice.
 
-    _, (ew, src) = jax.lax.scan(pre, None, (up_site, row_site, r2))
-    lean_xs = (starts, up_slot, w2, ew, src)
+    Deliberately a single scan: measured on v5e, each level of loop
+    nesting doubles XLA's buffering of the carried intensity array
+    (a while->scan->scan nesting cost 8x I = 14.8 GiB of temp at the
+    production shape)."""
 
-    def run(I):
-        def block(I, xs):
-            s, u, w, e, sr = xs
-            zero = jnp.zeros((), s.dtype)
+    def level(I, lxs):
+        start, up_slot, up_site, row_site, w2, r2 = lxs
+        ew, src = _level_src_ew(S_T, a_T, B, up_site, row_site, r2)
+        fl = up_slot.reshape(-1)
+        zero = jnp.zeros((), start.dtype)
+        for _ in range(passes):
+            i_u = jnp.take(I, fl, axis=0).reshape(W, 2, B)
+            i_new = jnp.sum(w2[..., None] * (ew * i_u + src), axis=1)
+            I = jax.lax.dynamic_update_slice(I, i_new, (start, zero))
+        return I, None
 
-            def level(I, lxs):
-                start, upl, w2l, ewl, srcl = lxs
-                fl = upl.reshape(-1)
-                for _ in range(passes):
-                    i_u = jnp.take(I, fl, axis=0).reshape(W, 2, B)
-                    i_new = jnp.sum(
-                        w2l[..., None] * (ewl * i_u + srcl), axis=1)
-                    I = jax.lax.dynamic_update_slice(
-                        I, i_new, (start, zero))
-                return I, None
-
-            I, _ = jax.lax.scan(level, I, (s, u, w, e, sr),
-                                unroll=_LEVEL_UNROLL)
-            return I, None
-
-        I, _ = jax.lax.scan(block, I, lean_xs)
-        return I
-
-    return run
+    I, _ = jax.lax.scan(level, I, stage_xs)
+    return I
 
 
-@partial(jax.jit, static_argnames=("shapes", "relax_tol"))
+@partial(jax.jit, static_argnames=("W", "passes"), donate_argnums=(2,))
+def _run_stage(W, passes, I, xs, S_T, a_T):
+    """One schedule stage (exact / gs / layer), I donated in place."""
+    B = S_T.shape[1]
+    return _stage_scan(I, S_T, a_T, B, xs, W, passes)
+
+
+@partial(jax.jit, static_argnames=("W", "passes"), donate_argnums=(2,))
+def _run_relax_lap(W, passes, I, xs, S_T, a_T, prev_samp):
+    """One relax lap + the sampled sup-change vs the previous lap.
+
+    Returns (I, samp, rel_diff): the host drives the repeat loop and
+    the two-consecutive-sub-tol exit, reading one scalar per lap.
+    Keeping the loop OUT of the compiled program matters: measured on
+    v5e, a while(scan) relax stage was assigned 14.7 GiB of temp at
+    3.5e6 sites x 91 lambda (XLA buffers the carried intensity once
+    per loop-nesting level), while the single-scan stage program stays
+    near 2x the intensity buffer."""
+    B = S_T.shape[1]
+    I = _stage_scan(I, S_T, a_T, B, xs, W, passes)
+    samp = I[::_DIFF_STRIDE]
+    diff = jnp.max(jnp.abs(samp - prev_samp))
+    scale = jnp.maximum(jnp.max(jnp.abs(samp)),
+                        jnp.asarray(1e-30, I.dtype))
+    return I, samp, diff / scale
+
+
+def _make_I(n_slots, B, dtype, I0):
+    I = jnp.zeros((n_slots + 1, B), dtype=dtype)
+    return jax.lax.dynamic_update_slice(I, I0.T.astype(dtype), (0, 0))
+
+
+@partial(jax.jit, static_argnames=("W", "passes"), donate_argnums=(2,))
+def _run_hoisted_lap_d(W, passes, I, lean_xs, prev_samp):
+    """Hoisted relax lap + sampled sup-change (adaptive-exit variant)."""
+    I = _run_hoisted_lap.__wrapped__(W, passes, I, lean_xs)
+    samp = I[::_DIFF_STRIDE]
+    diff = jnp.max(jnp.abs(samp - prev_samp))
+    scale = jnp.maximum(jnp.max(jnp.abs(samp)),
+                        jnp.asarray(1e-30, I.dtype))
+    return I, samp, diff / scale
+
+
+@partial(jax.jit, static_argnames=("W", "passes"), donate_argnums=(2,))
+def _run_hoisted_lap(W, passes, I, lean_xs):
+    """One relax lap from precomputed (ew, src) weights (hoisted out of
+    the repeat loop under _HOIST_BUDGET_BYTES)."""
+    starts, up_slot, w2, ew, src = lean_xs
+    B = ew.shape[-1]
+
+    def level(I, lxs):
+        start, upl, w2l, ewl, srcl = lxs
+        fl = upl.reshape(-1)
+        zero = jnp.zeros((), start.dtype)
+        for _ in range(passes):
+            i_u = jnp.take(I, fl, axis=0).reshape(W, 2, B)
+            i_new = jnp.sum(w2l[..., None] * (ewl * i_u + srcl), axis=1)
+            I = jax.lax.dynamic_update_slice(I, i_new, (start, zero))
+        return I, None
+
+    I, _ = jax.lax.scan(level, I, lean_xs)
+    return I
+
+
+@partial(jax.jit, static_argnames=("W",))
+def _precompute_lean(W, xs, S_T, a_T):
+    starts, up_slot, up_site, row_site, w2, r2 = xs
+    B = S_T.shape[1]
+    ew, src = _level_src_ew(S_T, a_T, B, up_site, row_site, r2)
+    return (starts, up_slot, w2, ew, src)
+
+
+@jax.jit
+def _samp_of(I):
+    return I[::_DIFF_STRIDE]
+
+
+@jax.jit
+def _finish(I, site_gather):
+    return jnp.take(I, site_gather, axis=0)             # (n, B)
+
+
 def _sweep_slots(shapes, relax_tol, stage_arrays, site_gather,
                  S_T, a_T, I0):
-    """shapes: static (n_slots, ((kind, W, passes), ...)); stage_arrays:
-    per-stage (starts, up_slot, up_site, row_site, w, r, repeats)
-    traced arrays -- repeats is traced (not static) so directions whose
-    relax schedules differ only in repeat count share one compiled
-    sweep.  S_T/a_T: (n, B) site-ordered fields (pre-transposed by the
-    caller; sweep_voronoi_t avoids re-transposing per direction).
-
-    relax_tol > 0 turns the global repeats of a relax stage (seam-wrap
-    sequencing, grid/voronoi.py) into an adaptive while loop that exits
-    once the relative sup-change of a repeat drops below relax_tol: with
-    real opacity the wrap contribution attenuates by e^-tau per lap and
-    1-2 repeats converge, while the zero-opacity searchlight fixture
-    (the case the repeat count is calibrated for) keeps moving the beam
-    every repeat and runs the full count.  relax_tol == 0 reproduces the
-    fixed-count behaviour bitwise.
+    """Host-orchestrated slot sweep: one donated jit call per schedule
+    stage and per relax lap (see _run_relax_lap for why the loops live
+    on the host).  stage_arrays: per-stage (starts, up_slot, up_site,
+    row_site, w, r, repeats); repeats drives the host repeat loop.
+    S_T/a_T: (n, B) site-ordered fields (pre-transposed by the caller).
     """
-    n, B = S_T.shape
     n_slots, stage_shapes = shapes
-    # I needs W scratch rows for pad-level writes
-    w_scratch = max((int(xs[1].shape[2]) for xs in stage_arrays),
-                    default=0)
-    I = jnp.zeros((n_slots + 1 + w_scratch, B), dtype=S_T.dtype)
-    I = jax.lax.dynamic_update_slice(I, I0.T.astype(S_T.dtype), (0, 0))
+    B = S_T.shape[1]
+    I = _make_I(n_slots, B, S_T.dtype, I0)
 
     for (kind, W, passes), (*xs, repeats) in zip(stage_shapes,
                                                  stage_arrays):
         xs = tuple(xs)
         if kind != "relax":
-            I = _stage_scan(I, S_T, a_T, B, xs, W, passes)
+            I = _run_stage(W, passes, I, xs, S_T, a_T)
             continue
-        # relax stage: repeats re-run the whole schedule.  Precompute
-        # the field-dependent weights once (they don't depend on I) so
-        # every lap pays only the sequential I gathers -- gated on a
-        # static memory budget (the hoisted (rows, 2, B) src/ew pair)
-        rows = int(np.prod(xs[1].shape[:3]))
-        hoist = rows * 2 * B * 4 * 2 <= _HOIST_BUDGET_BYTES
+        n_reps = int(repeats)
+        rows = int(np.prod(xs[1].shape[:2]))
+        hoist = (n_reps > 1
+                 and rows * 2 * B * 4 * 2 <= _HOIST_BUDGET_BYTES)
         if hoist:
-            lap = _stage_scan_hoisted(S_T, a_T, B, xs, W, passes)
-        else:
-            def lap(I, xs=xs):
-                return _stage_scan(I, S_T, a_T, B, xs, W, passes)
+            lean = _precompute_lean(W, xs, S_T, a_T)
         if not relax_tol:
-            I = jax.lax.fori_loop(0, repeats, lambda _, I: lap(I), I)
-        else:
-            # exit only after TWO consecutive sub-tol laps: a single lap
-            # whose sup-change dips below tol on a stalled-but-unconverged
-            # low-opacity wrap chain must not truncate the schedule.
-            # The sup-change is estimated on a strided row SAMPLE so the
-            # while carry holds ONE full intensity buffer, not two
-            # (1.5 GB at the production scale); the fixed repeat cap
-            # still bounds the schedule if the sample under-reports.
-            def body(state):
-                i, I, prev, streak = state
-                I_new = lap(I)
-                samp = I_new[::_DIFF_STRIDE]
-                diff = jnp.max(jnp.abs(samp - prev))
-                scale = jnp.maximum(jnp.max(jnp.abs(samp)),
-                                    jnp.asarray(1e-30, I.dtype))
-                sub = diff / scale <= relax_tol
-                return (i + 1, I_new, samp,
-                        jnp.where(sub, streak + 1, 0))
+            for _ in range(n_reps):
+                if hoist:
+                    I = _run_hoisted_lap(W, passes, I, lean)
+                else:
+                    I = _run_stage(W, passes, I, xs, S_T, a_T)
+            continue
+        # adaptive exit: two consecutive sub-tol laps end the repeats
+        # (a single stalled-but-unconverged lap must not truncate the
+        # schedule); one scalar readback per lap synchronizes
+        samp = _samp_of(I)
+        streak = 0
+        for _ in range(n_reps):
+            if hoist:
+                I, samp, rel = _run_hoisted_lap_d(W, passes, I, lean,
+                                                  samp)
+            else:
+                I, samp, rel = _run_relax_lap(W, passes, I, xs, S_T,
+                                              a_T, samp)
+            streak = streak + 1 if float(rel) <= relax_tol else 0
+            if streak >= 2:
+                break
 
-            def cond(state):
-                i, _, _, streak = state
-                return jnp.logical_and(i < repeats, streak < 2)
-
-            _, I, _, _ = jax.lax.while_loop(
-                cond, body, (0, I, I[::_DIFF_STRIDE], 0))
-
-    return jnp.take(I, site_gather, axis=0)              # (n, B)
+    return _finish(I, site_gather)
 
 
 def sweep_voronoi_t(plan, S_T, a_T, I0, n_sweeps=3, relax_tol=0.0):

@@ -77,6 +77,9 @@ def main():
     ap.add_argument("--lambda-chunk", type=int, default=0)
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--no-cache", action="store_true")
+    ap.add_argument("--boost", type=float, default=2.0e9,
+                    help="collisional-rate boost; MUST match the "
+                         "original run's value")
     args = ap.parse_args()
 
     import jax
@@ -95,6 +98,7 @@ def main():
         n_bb, n_bf = int(f["n_bb"][0]), int(f["n_bf"][0])
     cfg = Config(eps=args.eps, maxiter=args.maxiter, nlam_bb=n_bb,
                  nlam_bf=n_bf, quadrature=args.quadrature,
+                 boost=args.boost,
                  voronoi_order=args.voronoi_order,
                  lambda_chunk=args.lambda_chunk or None,
                  dtype="float32" if args.f32 else "float64",

@@ -378,10 +378,18 @@ def _device_arrays(sp):
 
 # ---------------------------------------------------------- device sweep
 
-# static memory budget for hoisting a relax stage's precomputed (src,
-# ew) pair out of its repeat loop (bytes); stages above it recompute
-# per lap inside the stage scan
-_HOIST_BUDGET_BYTES = 1 << 30
+# static memory budget for a relax stage's precomputed (src, ew) pair
+# (bytes): within it, repeat laps run "lean" -- no field arguments at
+# all, so the per-call argument-layout copies of S/alpha (measured
+# 2.6 GB per stage program at 3.5e6 sites x 91 lambda) are paid once
+# per stage, not once per lap.  6 GB admits the production relax
+# stages (~5.1 GB) while refusing pathological ones
+_HOIST_BUDGET_BYTES = 6 << 30
+
+# level-chunk size (in slot rows) of the hoisted-weight precompute:
+# bounds each precompute call's temp to the S/alpha layout copies plus
+# ~0.8 GB of chunk outputs
+_LEAN_CHUNK_ROWS = 500_000
 
 # row stride of the relax-convergence sample (see _sweep_slots): the
 # adaptive exit estimates the lap sup-change on every Nth slot row so
@@ -502,12 +510,36 @@ def _run_hoisted_lap(W, passes, I, lean_xs):
     return I
 
 
-@partial(jax.jit, static_argnames=("W",))
+@partial(jax.jit, static_argnames=("W",), donate_argnums=(1, 2))
+def _lean_chunk(W, ew_buf, src_buf, start, up_site_c, row_site_c, r2_c,
+                S_T, a_T):
+    """One level-chunk of the hoisted-weight precompute, written into
+    donated (L, W, 2, B) buffers."""
+    B = S_T.shape[1]
+    ew, src = _level_src_ew(S_T, a_T, B, up_site_c, row_site_c, r2_c)
+    zero = jnp.zeros((), jnp.int32)
+    ew_buf = jax.lax.dynamic_update_slice(
+        ew_buf, ew, (start, zero, zero, zero))
+    src_buf = jax.lax.dynamic_update_slice(
+        src_buf, src, (start, zero, zero, zero))
+    return ew_buf, src_buf
+
+
 def _precompute_lean(W, xs, S_T, a_T):
+    """(starts, up_slot, w, ew, src) for a whole stage, built in level
+    chunks so each call's temp stays near the S/alpha layout copies."""
     starts, up_slot, up_site, row_site, w2, r2 = xs
     B = S_T.shape[1]
-    ew, src = _level_src_ew(S_T, a_T, B, up_site, row_site, r2)
-    return (starts, up_slot, w2, ew, src)
+    L = int(up_site.shape[0])
+    lc = max(1, _LEAN_CHUNK_ROWS // max(W, 1))
+    ew_buf = jnp.zeros((L, W, 2, B), S_T.dtype)
+    src_buf = jnp.zeros((L, W, 2, B), S_T.dtype)
+    for l0 in range(0, L, lc):
+        l1 = min(l0 + lc, L)
+        ew_buf, src_buf = _lean_chunk(
+            W, ew_buf, src_buf, jnp.asarray(l0, jnp.int32),
+            up_site[l0:l1], row_site[l0:l1], r2[l0:l1], S_T, a_T)
+    return (starts, up_slot, w2, ew_buf, src_buf)
 
 
 @jax.jit

@@ -196,7 +196,7 @@ def main():
             json.dump(rec, f, indent=1)
 
     save()
-    K = 2
+    K = 1
 
     @jax.jit
     def _mix(S, J):
@@ -213,7 +213,7 @@ def main():
         t0 = time.time()
         _ = chained(S)
         rec["phases"]["sweep_compile_s"] = time.time() - t0
-        reps = 2
+        reps = 1
         t0 = time.time()
         for _ in range(reps):
             _ = chained(S)

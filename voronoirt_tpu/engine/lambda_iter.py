@@ -135,7 +135,7 @@ def _lambda_chunks(n_lambda, chunk):
             for i in range(0, n_lambda, chunk)]
 
 
-@partial(jax.jit, donate_argnums=0)
+@jax.jit
 def _write_rows(buf, chunk, start):
     """Donated in-place write of a lambda chunk into the J buffer
     (chunk assembly by concatenate would double-buffer 1.3 GB at
@@ -162,7 +162,7 @@ def _drain(x):
     float(x[(0,) * x.ndim])
 
 
-@partial(jax.jit, donate_argnums=0)
+@jax.jit
 def _accum(J, I, w):
     """Donated fused J += w * I (the eager two-op form holds an extra
     (B, n) temporary -- 1.3 GB at production scale)."""

@@ -446,14 +446,14 @@ def _stage_scan(I, S_T, a_T, B, stage_xs, W, passes):
     return I
 
 
-@partial(jax.jit, static_argnames=("W", "passes"), donate_argnums=(2,))
+@partial(jax.jit, static_argnames=("W", "passes"))
 def _run_stage(W, passes, I, xs, S_T, a_T):
     """One schedule stage (exact / gs / layer), I donated in place."""
     B = S_T.shape[1]
     return _stage_scan(I, S_T, a_T, B, xs, W, passes)
 
 
-@partial(jax.jit, static_argnames=("W", "passes"), donate_argnums=(2,))
+@partial(jax.jit, static_argnames=("W", "passes"))
 def _run_relax_lap(W, passes, I, xs, S_T, a_T, prev_samp):
     """One relax lap + the sampled sup-change vs the previous lap.
 
@@ -478,7 +478,7 @@ def _make_I(n_slots, B, dtype, I0):
     return jax.lax.dynamic_update_slice(I, I0.T.astype(dtype), (0, 0))
 
 
-@partial(jax.jit, static_argnames=("W", "passes"), donate_argnums=(2,))
+@partial(jax.jit, static_argnames=("W", "passes"))
 def _run_hoisted_lap_d(W, passes, I, lean_xs, prev_samp):
     """Hoisted relax lap + sampled sup-change (adaptive-exit variant)."""
     I = _run_hoisted_lap.__wrapped__(W, passes, I, lean_xs)
@@ -489,7 +489,7 @@ def _run_hoisted_lap_d(W, passes, I, lean_xs, prev_samp):
     return I, samp, diff / scale
 
 
-@partial(jax.jit, static_argnames=("W", "passes"), donate_argnums=(2,))
+@partial(jax.jit, static_argnames=("W", "passes"))
 def _run_hoisted_lap(W, passes, I, lean_xs):
     """One relax lap from precomputed (ew, src) weights (hoisted out of
     the repeat loop under _HOIST_BUDGET_BYTES)."""
@@ -510,7 +510,7 @@ def _run_hoisted_lap(W, passes, I, lean_xs):
     return I
 
 
-@partial(jax.jit, static_argnames=("W",), donate_argnums=(1, 2))
+@partial(jax.jit, static_argnames=("W",))
 def _lean_chunk(W, ew_buf, src_buf, start, up_site_c, row_site_c, r2_c,
                 S_T, a_T):
     """One level-chunk of the hoisted-weight precompute, written into

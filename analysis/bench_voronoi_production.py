@@ -36,6 +36,11 @@ if _ROOT not in sys.path:
 
 
 def mem_stats(probe=False):
+    """probe=True is DESTRUCTIVE through the axon tunnel (a failed
+    allocation permanently wedges the client -- measured,
+    analysis/exp_hbm_strand.py): only pass it after the LAST device
+    work of the process.  Round 4 probed between phases, which is
+    exactly why everything after the probe OOM'd."""
     import jax
     out = {}
     try:
@@ -45,8 +50,6 @@ def mem_stats(probe=False):
     except Exception:
         pass
     if probe and out.get("bytes_in_use") is None:
-        # axon tunnel: memory_stats is null -- measure free HBM directly
-        # by allocation bisection (voronoirt_tpu.observability.metrics)
         from voronoirt_tpu.observability.metrics import probe_free_hbm
         try:
             out["free_bytes_probed"] = probe_free_hbm()
@@ -58,18 +61,27 @@ def mem_stats(probe=False):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-sites", type=int, default=3_522_560)
-    ap.add_argument("--chunk", type=int, default=48,
-                    help="lambda chunk through the sweeps; the chunk is "
-                    "the slot-array LANE axis and the level scan is "
-                    "latency-bound, so wide chunks are nearly free "
-                    "(B=96 costs ~1.07x a B=16 pass at 442k sites) -- "
-                    "48 keeps the 3.5e6-site peak under ~9 GB HBM")
-    ap.add_argument("--iter-chunk", type=int, default=16,
+    ap.add_argument("--chunk", type=int, default=91,
+                    help="lambda chunk through the sweeps.  91 (the "
+                    "full production batch) rides the measured v5e "
+                    "gather fast path (7.7 ns/row at >=364-byte rows "
+                    "vs 14-37 ns below); with donated stage/lap "
+                    "buffers, packed lean weights and fused damping "
+                    "(round 5) the chunk-91 working set fits the "
+                    "~15 GB usable HBM")
+    ap.add_argument("--iter-chunk", type=int, default=91,
                     help="lambda chunk for the full-NLTE-iteration "
-                    "phase: the iteration also holds populations, "
-                    "rates and the J accumulator, so its chunk must "
-                    "stay smaller than the sweep-throughput chunk "
-                    "(48 OOMs at 3.5e6 sites where 16 fits)")
+                    "phase (the iteration additionally holds B0, "
+                    "S_old and the populations next to the sweep "
+                    "working set; drop to 48/16 with --hoist-gb-iter 0 "
+                    "if a new configuration overruns)")
+    ap.add_argument("--hoist-gb-sweep", type=float, default=3.0,
+                    help="relax-lap lean-weight hoist budget (GB) for "
+                    "the sweep-throughput phase")
+    ap.add_argument("--hoist-gb-iter", type=float, default=0.0,
+                    help="hoist budget (GB) for the iteration phase "
+                    "(0 = relax laps gather fields live; the "
+                    "iteration's residents leave less slack)")
     ap.add_argument("--nlam-bb", type=int, default=51)
     ap.add_argument("--nlam-bf", type=int, default=20)
     ap.add_argument("--order", default="wavefront",
@@ -155,6 +167,11 @@ def main():
     rec["plan_geometry_bytes_f32"] = int(geom_bytes)
 
     # ---------------- formal-solution throughput (do_timing analog)
+    from voronoirt_tpu.observability.metrics import HbmLedger
+    from voronoirt_tpu.solvers import sweep_voronoi as _sv
+    led = HbmLedger()
+    led.hold("plan_geometry+site_maps", nbytes=int(geom_bytes * 1.45))
+
     B = args.chunk
     rng = np.random.default_rng(0)
     S = jnp.asarray(rng.uniform(0.1, 1.0, (B, sites.n)), jnp.float32)
@@ -168,10 +185,15 @@ def main():
     # site-major operands: sweeps gather straight from (n, B) fields
     S = jnp.asarray(S.T)
     alpha = jnp.asarray(alpha.T)
+    led.hold("S_T", S)
+    led.hold("alpha_T", alpha)
 
-    def J_pass(S_T):
+    dir_seconds = []
+
+    def J_pass(S_T, timed=False):
         J_T = jnp.zeros_like(S_T)
         for i in range(quad.n_angles):
+            t0 = time.time()
             plan = eng.plans[i]
             if plan.up:
                 I0 = jnp.ones((B, len(plan.bc_sites)), S_T.dtype)
@@ -185,6 +207,9 @@ def main():
             # 12 x (n, B) sweep outputs allocated at dispatch)
             if (i + 1) % sync_every == 0:
                 _drain(J_T)
+            if timed:
+                _drain(J_T)
+                dir_seconds.append(round(time.time() - t0, 3))
         return J_T
 
     out = args.out or os.path.join(_ROOT, "BENCH_VORONOI.json")
@@ -210,28 +235,41 @@ def main():
         return float(jnp.sum(S))
 
     if not args.skip_sweep:
-        t0 = time.time()
-        _ = chained(S)
-        rec["phases"]["sweep_compile_s"] = time.time() - t0
-        reps = 1
-        t0 = time.time()
-        for _ in range(reps):
+        _sv._HOIST_BUDGET_BYTES = int(args.hoist_gb_sweep * (1 << 30))
+        with led.phase("sweep_compile", transient_bytes=6 << 30):
+            t0 = time.time()
             _ = chained(S)
-        dt = (time.time() - t0) / reps / K
+            rec["phases"]["sweep_compile_s"] = time.time() - t0
+        save()
+        reps = 1
+        with led.phase("sweep_timed", transient_bytes=6 << 30):
+            t0 = time.time()
+            for _ in range(reps):
+                _ = chained(S)
+            dt = (time.time() - t0) / reps / K
+        # one per-direction timed pass (drain-per-angle adds RTTs, so
+        # it is recorded separately from the throughput number)
+        _ = J_pass(S, timed=True)
+        rec["direction_seconds_timed_pass"] = dir_seconds[-12:]
         rec["seconds_per_J_pass_12dir"] = dt
         rec["sweep_throughput_sites_rays_per_s"] = (
             sites.n * quad.n_angles * B / dt)
         # scaled to the full 91-lambda production pass
         rec["projected_full_J_pass_s"] = dt * (line.n_lambda / B)
-        rec["memory_after_sweep"] = mem_stats(probe=True)
+        # NON-destructive model: a failed allocation wedges the axon
+        # client (exp_hbm_strand.py), so the bisection probe moved to
+        # the very end of the process
+        rec["memory_after_sweep"] = {"hbm_ledger": led.report()}
         save()
     # release the throughput-phase operands before the iteration
     del S, alpha
+    led.drop("S_T", "alpha_T")
 
     # ---------------- one full NLTE iteration, lambda-chunked,
     # production-memory path (per-chunk damping + site-slabbed rates:
     # the 3.5e6-site iteration OOMs holding the full damping cube)
     if not args.skip_iteration:
+        _sv._HOIST_BUDGET_BYTES = int(args.hoist_gb_iter * (1 << 30))
         from voronoirt_tpu.engine.lambda_iter import (
             _update_S, _gamma_cell, _rates_and_populations_slabbed)
         rates_chunk = args.rates_chunk
@@ -277,7 +315,9 @@ def main():
         rec["iteration_pts_rays"] = sites.n * quad.n_angles * line.n_lambda
         rec["iteration_throughput_pts_rays_per_s"] = (
             rec["iteration_pts_rays"] / rec["phases"]["nlte_iteration_s"])
+        # end of all device work: the destructive probe is safe now
         rec["memory_after_iteration"] = mem_stats(probe=True)
+        rec["hbm_ledger"] = led.report()
 
     out = args.out or os.path.join(_ROOT, "BENCH_VORONOI.json")
     with open(out, "w") as f:

@@ -48,8 +48,8 @@ from ..physics.stateq import get_revised_populations
 from ..solvers.sweep_regular import (build_plan, sweep as sweep_regular,
                                      group_plans, sweep_group_J,
                                      flip_field)
-from ..solvers.sweep_voronoi import (share_plan_shapes, sweep_voronoi,
-                                     sweep_voronoi_t)
+from ..solvers.sweep_voronoi import (_DONATE, share_plan_shapes,
+                                     sweep_voronoi, sweep_voronoi_t)
 
 
 @dataclasses.dataclass
@@ -126,6 +126,22 @@ def _alpha_tot(line, lam, damping_lam, v_los, populations, alpha_cont):
     return a_line + alpha_cont[None]
 
 
+@partial(jax.jit, static_argnames=("line",))
+def _alpha_tot_g(line, lam, g_cell, v_los, populations, alpha_cont):
+    """_alpha_tot with the damping chunk computed in-jit from the
+    per-cell gamma: identical ops/inputs to _damping_chunk ->
+    _alpha_tot, but no (B, n) damping array is resident between
+    directions (1.28 GB at 3.5e6 sites x 91 lambda).  Recomputing the
+    damping per direction is ~20 flops/point against the 1.28 GB HBM
+    read the materialized chunk would cost each direction anyway."""
+    lamr = lam.reshape((-1,) + (1,) * g_cell.ndim)
+    damp = damping(g_cell[None], lamr, line.dlamD[None])
+    profile = compute_profile(line, lam, damp, v_los)
+    a_line = alpha_line(line, profile, populations[..., 1],
+                        populations[..., 0])
+    return a_line + alpha_cont[None]
+
+
 def _lambda_chunks(n_lambda, chunk):
     """Slices covering the lambda axis in blocks of `chunk` (last block
     may be smaller -> at most two compiled chunk shapes)."""
@@ -135,11 +151,14 @@ def _lambda_chunks(n_lambda, chunk):
             for i in range(0, n_lambda, chunk)]
 
 
-@jax.jit
+@partial(jax.jit, donate_argnums=(0,) if _DONATE else ())
 def _write_rows(buf, chunk, start):
     """Donated in-place write of a lambda chunk into the J buffer
     (chunk assembly by concatenate would double-buffer 1.3 GB at
-    production scale)."""
+    production scale; without donation input+output J buffers are both
+    live across the call -- 2.6 GB at 3.5e6 sites x 91 lambda).  The
+    callers rebind J_buf, dropping their reference as donation
+    requires."""
     return jax.lax.dynamic_update_slice(
         buf, chunk, (start,) + (0,) * (buf.ndim - 1))
 
@@ -162,10 +181,12 @@ def _drain(x):
     float(x[(0,) * x.ndim])
 
 
-@jax.jit
+@partial(jax.jit, donate_argnums=(0,) if _DONATE else ())
 def _accum(J, I, w):
     """Donated fused J += w * I (the eager two-op form holds an extra
-    (B, n) temporary -- 1.3 GB at production scale)."""
+    (B, n) temporary -- 1.3 GB at production scale; without donation
+    the input and output J accumulators are both live across every
+    angle).  Callers rebind J, dropping their reference."""
     return J + w * I
 
 
@@ -309,15 +330,20 @@ class RegularEngine:
         if len(chunks) > 1:
             J_buf = jnp.zeros((line.n_lambda,) + S.shape[1:], S.dtype)
         for sl in chunks:
-            if damping_lam is not None:
+            fused_damp = damping_lam is None and not devs
+            if fused_damp:
+                damp_sl = None      # computed in-jit per direction
+            elif damping_lam is not None:
                 damp_sl = damping_lam[sl]
             else:
                 damp_sl = _damping_chunk(line, g_cell, lam[sl])
             sync_every = _sync_interval(
-                4 * (sl.stop - sl.start) * int(np.prod(S.shape[1:])))
+                S.dtype.itemsize * (sl.stop - sl.start)
+                * int(np.prod(S.shape[1:])))
             if grouped:
                 Jc = self._J_chunk_grouped(S[sl], populations,
-                                           damp_sl, lam[sl])
+                                           damp_sl, lam[sl],
+                                           g_cell=g_cell)
                 if J_buf is None:
                     return Jc
                 J_buf = _write_rows(J_buf, Jc, sl.start)
@@ -345,8 +371,12 @@ class RegularEngine:
                     S_c, damp_c, pops_c, lam_c = (S[sl], damp_sl,
                                                   populations, lam[sl])
                 v_los = line_of_sight_velocity(v, -k)
-                a_tot = _alpha_tot(line, lam_c, damp_c, v_los,
-                                   pops_c, a_cont)
+                if fused_damp and damp_c is None:
+                    a_tot = _alpha_tot_g(line, lam_c, g_cell, v_los,
+                                         pops_c, a_cont)
+                else:
+                    a_tot = _alpha_tot(line, lam_c, damp_c, v_los,
+                                       pops_c, a_cont)
                 S_t = jnp.swapaxes(S_c, 0, 1)     # (nz, chunk, nx, ny)
                 a_t = jnp.swapaxes(a_tot, 0, 1)
                 if plan.up:
@@ -372,14 +402,28 @@ class RegularEngine:
             J_buf = _write_rows(J_buf, Jc, sl.start)
         return J_buf
 
-    def _J_chunk_grouped(self, S_c, populations, damp_c, lam_c):
+    def _J_chunk_grouped(self, S_c, populations, damp_c, lam_c,
+                         g_cell=None):
         """One lambda chunk of J with mirror-angle groups batched.
 
         Per group: compute each angle's per-angle extinction, flip it to
         the canonical quadrant, stack along the batch axis, run ONE
         sweep, unflip, and accumulate the quadrature-weighted sum.
+
+        damp_c=None (with g_cell given) computes the damping chunk
+        in-jit per direction (_alpha_tot_g) -- no resident (B, ...)
+        damping array.
         """
         line, quad = self.line, self.quad
+
+        def a_tot_for(k):
+            v_los = line_of_sight_velocity(self.v, -k)
+            if damp_c is None:
+                return _alpha_tot_g(line, lam_c, g_cell, v_los,
+                                    populations, self.a_cont)
+            return _alpha_tot(line, lam_c, damp_c, v_los,
+                              populations, self.a_cont)
+
         T_bottom = self.T[0]
         Jc = jnp.zeros_like(S_c)
         S_t = jnp.swapaxes(S_c, 0, 1)        # (nz, chunk, nx, ny)
@@ -389,9 +433,7 @@ class RegularEngine:
                 (i, _, _) = group[0]
                 k = quad.k[i]
                 plan = self.plans[i]
-                v_los = line_of_sight_velocity(self.v, -k)
-                a_tot = _alpha_tot(line, lam_c, damp_c, v_los,
-                                   populations, self.a_cont)
+                a_tot = a_tot_for(k)
                 a_t = jnp.swapaxes(a_tot, 0, 1)
                 if plan.up:
                     I0 = B_lambda(lam_c[:, None, None], T_bottom[None])
@@ -404,9 +446,7 @@ class RegularEngine:
             a_list, I0_list = [], []
             for (i, plan_c, (fx, fy, fz)) in group:
                 k = quad.k[i]
-                v_los = line_of_sight_velocity(self.v, -k)
-                a_tot = _alpha_tot(line, lam_c, damp_c, v_los,
-                                   populations, self.a_cont)
+                a_tot = a_tot_for(k)
                 a_list.append(jnp.swapaxes(a_tot, 0, 1))
                 # BC follows the ORIGINAL direction (fz = originally
                 # down, z-flip-canonicalized): up = hot bottom plane,
@@ -504,12 +544,16 @@ class VoronoiEngine:
         if len(chunks) > 1:
             J_buf = jnp.zeros((line.n_lambda,) + S.shape[1:], S.dtype)
         for sl in chunks:
-            if damping_lam is not None:
+            fused_damp = damping_lam is None and not devs
+            if fused_damp:
+                damp_sl = None      # computed in-jit per direction
+            elif damping_lam is not None:
                 damp_sl = damping_lam[sl]
             else:
                 damp_sl = _damping_chunk(line, g_cell, lam[sl])
             sync_every = _sync_interval(
-                4 * (sl.stop - sl.start) * int(np.prod(S.shape[1:])))
+                S.dtype.itemsize * (sl.stop - sl.start)
+                * int(np.prod(S.shape[1:])))
             if devs:
                 state = _ang.broadcast_state(
                     devs, S=S[sl], damping=damp_sl,
@@ -536,8 +580,12 @@ class VoronoiEngine:
                     S_c, damp_c, pops_c, lam_c = (S[sl], damp_sl,
                                                   populations, lam[sl])
                 v_los = line_of_sight_velocity(v, -k)
-                a_tot = _alpha_tot(line, lam_c, damp_c, v_los,
-                                   pops_c, a_cont)
+                if fused_damp:
+                    a_tot = _alpha_tot_g(line, lam_c, g_cell, v_los,
+                                         pops_c, a_cont)
+                else:
+                    a_tot = _alpha_tot(line, lam_c, damp_c, v_los,
+                                       pops_c, a_cont)
                 if plan.up:
                     I0 = B_lambda(lam_c[:, None], T_d[plan.bc_sites][None])
                 else:

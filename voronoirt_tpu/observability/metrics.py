@@ -72,14 +72,20 @@ def device_trace(log_dir):
 def probe_free_hbm(upper_gb=16.0, resolution_mb=256):
     """Estimate free device memory by allocation bisection [bytes].
 
-    device.memory_stats() returns nulls through the axon remote-TPU
-    tunnel, so peak-HBM accounting is done the direct way: bisect the
-    largest f32 buffer that still allocates.  Call at a measurement
-    point (e.g. right after a production sweep, before operands are
-    freed); peak usage ~= total HBM - returned value.  The probe buffer
-    is freed before returning.  Allocation failures are caught per
-    attempt, so a production run can call this without dying -- but
-    fragmentation makes it a lower bound on free memory.
+    *** DESTRUCTIVE THROUGH THE AXON TUNNEL -- END-OF-RUN ONLY. ***
+    Measured on this platform (analysis/exp_hbm_strand.py, round 5): a
+    single failed allocation permanently wedges the remote client --
+    after one RESOURCE_EXHAUSTED even a 1 GB allocation fails, and
+    nothing recovers short of a fresh process.  The bisection
+    deliberately drives allocations to failure, so calling this
+    mid-run poisons everything after it (this, not buffer stranding,
+    was round 4's "repeat passes exhaust HBM a fresh client sees as
+    free").  Call it only after the last device work of the process,
+    or use HbmLedger for non-destructive per-phase accounting.
+
+    device.memory_stats() returns nulls through the axon tunnel, so
+    this is still the only direct end-of-run measurement: bisect the
+    largest f32 buffer that still allocates.
     """
     import jax
     import jax.numpy as jnp
@@ -107,6 +113,74 @@ def probe_free_hbm(upper_gb=16.0, resolution_mb=256):
         else:
             hi = mid - 1
     return lo * step
+
+
+class HbmLedger:
+    """Non-destructive per-phase HBM accounting (round-5 watermarks).
+
+    The axon tunnel nulls memory_stats() and a failed allocation wedges
+    the client (see probe_free_hbm), so mid-run watermarks must be a
+    host-side MODEL: phases register the device buffers they hold
+    (by array or byte count); the ledger tracks live and peak bytes per
+    phase.  It counts what callers declare -- XLA temp buffers inside a
+    program execution are not visible, so pair it with AOT
+    memory_analysis numbers for the per-program temp and ONE
+    destructive probe_free_hbm at end of run to calibrate.
+
+        led = HbmLedger()
+        led.hold("S_T", S_T); led.hold("geometry", nbytes=2.0e9)
+        with led.phase("sweep_dir0"):
+            ...
+        led.drop("S_T")
+        led.report()  # {"phases": {...}, "live_bytes": ..., ...}
+    """
+
+    def __init__(self):
+        self._live = {}
+        self._peak = 0
+        self._phases = {}
+
+    @staticmethod
+    def _nb(a):
+        import numpy as np
+        return int(np.prod(a.shape)) * a.dtype.itemsize
+
+    def hold(self, name, array=None, nbytes=None):
+        self._live[name] = self._nb(array) if array is not None \
+            else int(nbytes)
+        self._peak = max(self._peak, self.live_bytes())
+
+    def drop(self, *names):
+        for n in names:
+            self._live.pop(n, None)
+
+    def live_bytes(self):
+        return sum(self._live.values())
+
+    @contextlib.contextmanager
+    def phase(self, name, transient_bytes=0):
+        """Record the live watermark across a phase; transient_bytes
+        adds a caller-estimated in-program temp (argument-layout
+        copies, chunk outputs) to the recorded peak."""
+        t0 = time.time()
+        base = self.live_bytes()
+        try:
+            yield self
+        finally:
+            peak = max(base, self.live_bytes()) + int(transient_bytes)
+            self._peak = max(self._peak, peak)
+            self._phases[name] = {
+                "live_bytes_start": base,
+                "live_bytes_end": self.live_bytes(),
+                "modeled_peak_bytes": peak,
+                "seconds": time.time() - t0,
+            }
+
+    def report(self):
+        return {"phases": dict(self._phases),
+                "live_bytes": self.live_bytes(),
+                "modeled_peak_bytes": self._peak,
+                "held": dict(self._live)}
 
 
 def nan_guard(name, *arrays):

@@ -46,6 +46,7 @@ zero row (the dummy slot) so padded upwind entries gather harmlessly.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -53,6 +54,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from .formal import linear_weights
+
+# Buffer donation for the host-orchestrated stage/lap calls: without it
+# XLA keeps input AND output intensity buffers live across every call
+# (doubling the (n_slots+1, B) carry, ~1.5 GB at 3.5e6 sites x 91
+# lambda) and the hoisted-weight precompute double-buffers its multi-GB
+# (A, b) pair -- the round-4 chunk-91 OOM budget.  The host loops drop
+# their references before each call, which is what donation requires.
+# VRT_DONATE=0 is an A/B escape hatch for allocator forensics.
+_DONATE = os.environ.get("VRT_DONATE", "1") != "0"
+
+
+def _don(*idx):
+    return idx if _DONATE else ()
 
 
 # ------------------------------------------------------------ slot plan
@@ -378,23 +392,22 @@ def _device_arrays(sp):
 
 # ---------------------------------------------------------- device sweep
 
-# static memory budget for a relax stage's precomputed (src, ew) pair
+# static memory budget for a relax stage's precomputed lean weights
 # (bytes): within it, repeat laps run "lean" -- no field arguments at
 # all, so the per-call argument-layout copies of S/alpha (measured
 # 2.6 GB per stage program at 3.5e6 sites x 91 lambda) are paid once
-# per stage, not once per lap.  6 GB admits the production relax
-# stages (~5.1 GB) while refusing pathological ones
-_HOIST_BUDGET_BYTES = 6 << 30
+# per stage, not once per lap.  The lean format is PACKED: A = w * ew
+# (L, W, 2, B) and the weight-contracted source b = sum_j w_j src_j
+# (L, W, B) -- 3 lanes/row instead of the 4 of raw (ew, src), so both
+# the resident bytes and the per-lap HBM reads drop 25%.  Donated
+# chunked builds keep exactly one copy live (see _lean_chunk).
+_HOIST_BUDGET_BYTES = int(float(os.environ.get(
+    "VRT_HOIST_BUDGET_GB", "6")) * (1 << 30))
 
 # level-chunk size (in slot rows) of the hoisted-weight precompute:
 # bounds each precompute call's temp to the S/alpha layout copies plus
 # ~0.8 GB of chunk outputs
 _LEAN_CHUNK_ROWS = 500_000
-
-# row stride of the relax-convergence sample (see _sweep_slots): the
-# adaptive exit estimates the lap sup-change on every Nth slot row so
-# the while carry keeps a single full intensity buffer
-_DIFF_STRIDE = 64
 
 
 def _level_src_ew(S_T, a_T, B, up_site, row_site, r2):
@@ -446,31 +459,50 @@ def _stage_scan(I, S_T, a_T, B, stage_xs, W, passes):
     return I
 
 
-@partial(jax.jit, static_argnames=("W", "passes"))
+@partial(jax.jit, static_argnames=("W", "passes"),
+         donate_argnums=_don(2))
 def _run_stage(W, passes, I, xs, S_T, a_T):
     """One schedule stage (exact / gs / layer), I donated in place."""
     B = S_T.shape[1]
     return _stage_scan(I, S_T, a_T, B, xs, W, passes)
 
 
-@partial(jax.jit, static_argnames=("W", "passes"))
-def _run_relax_lap(W, passes, I, xs, S_T, a_T, prev_samp):
-    """One relax lap + the sampled sup-change vs the previous lap.
+@partial(jax.jit, static_argnames=("W", "passes"),
+         donate_argnums=_don(2))
+def _run_relax_lap(W, passes, I, xs, S_T, a_T):
+    """One relax lap + the EXACT sup-change of the lap.
 
-    Returns (I, samp, rel_diff): the host drives the repeat loop and
-    the two-consecutive-sub-tol exit, reading one scalar per lap.
+    The change is measured inside the level scan by reading each
+    level's old rows (one contiguous dynamic_slice) before the update
+    writes them -- exact over every written row (unwritten rows cannot
+    change), no second intensity buffer, donation-compatible.  Returns
+    (I, rel_diff): the host drives the repeat loop and the
+    two-consecutive-sub-tol exit, reading one scalar per lap.
     Keeping the loop OUT of the compiled program matters: measured on
     v5e, a while(scan) relax stage was assigned 14.7 GiB of temp at
     3.5e6 sites x 91 lambda (XLA buffers the carried intensity once
     per loop-nesting level), while the single-scan stage program stays
-    near 2x the intensity buffer."""
+    near 1x the intensity buffer with donation."""
     B = S_T.shape[1]
-    I = _stage_scan(I, S_T, a_T, B, xs, W, passes)
-    samp = I[::_DIFF_STRIDE]
-    diff = jnp.max(jnp.abs(samp - prev_samp))
-    scale = jnp.maximum(jnp.max(jnp.abs(samp)),
-                        jnp.asarray(1e-30, I.dtype))
-    return I, samp, diff / scale
+
+    def level(carry, lxs):
+        I, dmax, smax = carry
+        start, up_slot, up_site, row_site, w2, r2 = lxs
+        ew, src = _level_src_ew(S_T, a_T, B, up_site, row_site, r2)
+        fl = up_slot.reshape(-1)
+        zero = jnp.zeros((), start.dtype)
+        for _ in range(passes):
+            i_old = jax.lax.dynamic_slice(I, (start, zero), (W, B))
+            i_u = jnp.take(I, fl, axis=0).reshape(W, 2, B)
+            i_new = jnp.sum(w2[..., None] * (ew * i_u + src), axis=1)
+            dmax = jnp.maximum(dmax, jnp.max(jnp.abs(i_new - i_old)))
+            smax = jnp.maximum(smax, jnp.max(jnp.abs(i_new)))
+            I = jax.lax.dynamic_update_slice(I, i_new, (start, zero))
+        return (I, dmax, smax), None
+
+    zero_s = jnp.zeros((), I.dtype)
+    (I, dmax, smax), _ = jax.lax.scan(level, (I, zero_s, zero_s), xs)
+    return I, dmax / jnp.maximum(smax, jnp.asarray(1e-30, I.dtype))
 
 
 def _make_I(n_slots, B, dtype, I0):
@@ -478,31 +510,48 @@ def _make_I(n_slots, B, dtype, I0):
     return jax.lax.dynamic_update_slice(I, I0.T.astype(dtype), (0, 0))
 
 
-@partial(jax.jit, static_argnames=("W", "passes"))
-def _run_hoisted_lap_d(W, passes, I, lean_xs, prev_samp):
-    """Hoisted relax lap + sampled sup-change (adaptive-exit variant)."""
-    I = _run_hoisted_lap.__wrapped__(W, passes, I, lean_xs)
-    samp = I[::_DIFF_STRIDE]
-    diff = jnp.max(jnp.abs(samp - prev_samp))
-    scale = jnp.maximum(jnp.max(jnp.abs(samp)),
-                        jnp.asarray(1e-30, I.dtype))
-    return I, samp, diff / scale
+@partial(jax.jit, static_argnames=("W", "passes"),
+         donate_argnums=_don(2))
+def _run_hoisted_lap_d(W, passes, I, lean_xs):
+    """Hoisted relax lap + exact sup-change (adaptive-exit variant)."""
+    B = lean_xs[-1].shape[-1]
+
+    def level(carry, lxs):
+        I, dmax, smax = carry
+        start, upl, Al, bl = lxs
+        fl = upl.reshape(-1)
+        zero = jnp.zeros((), start.dtype)
+        for _ in range(passes):
+            i_old = jax.lax.dynamic_slice(I, (start, zero), (W, B))
+            i_u = jnp.take(I, fl, axis=0).reshape(W, 2, B)
+            i_new = jnp.sum(Al * i_u, axis=1) + bl
+            dmax = jnp.maximum(dmax, jnp.max(jnp.abs(i_new - i_old)))
+            smax = jnp.maximum(smax, jnp.max(jnp.abs(i_new)))
+            I = jax.lax.dynamic_update_slice(I, i_new, (start, zero))
+        return (I, dmax, smax), None
+
+    zero_s = jnp.zeros((), I.dtype)
+    (I, dmax, smax), _ = jax.lax.scan(level, (I, zero_s, zero_s),
+                                      lean_xs)
+    return I, dmax / jnp.maximum(smax, jnp.asarray(1e-30, I.dtype))
 
 
-@partial(jax.jit, static_argnames=("W", "passes"))
+@partial(jax.jit, static_argnames=("W", "passes"),
+         donate_argnums=_don(2))
 def _run_hoisted_lap(W, passes, I, lean_xs):
-    """One relax lap from precomputed (ew, src) weights (hoisted out of
-    the repeat loop under _HOIST_BUDGET_BYTES)."""
-    starts, up_slot, w2, ew, src = lean_xs
-    B = ew.shape[-1]
+    """One relax lap from the packed lean weights (A = w * ew, b = sum
+    of w * src), hoisted out of the repeat loop under
+    _HOIST_BUDGET_BYTES.  Per row the lap reads 2 I rows + 3 lanes of
+    lean data -- no field gathers at all."""
+    B = lean_xs[-1].shape[-1]
 
     def level(I, lxs):
-        start, upl, w2l, ewl, srcl = lxs
+        start, upl, Al, bl = lxs
         fl = upl.reshape(-1)
         zero = jnp.zeros((), start.dtype)
         for _ in range(passes):
             i_u = jnp.take(I, fl, axis=0).reshape(W, 2, B)
-            i_new = jnp.sum(w2l[..., None] * (ewl * i_u + srcl), axis=1)
+            i_new = jnp.sum(Al * i_u, axis=1) + bl
             I = jax.lax.dynamic_update_slice(I, i_new, (start, zero))
         return I, None
 
@@ -510,41 +559,40 @@ def _run_hoisted_lap(W, passes, I, lean_xs):
     return I
 
 
-@partial(jax.jit, static_argnames=("W",))
-def _lean_chunk(W, ew_buf, src_buf, start, up_site_c, row_site_c, r2_c,
-                S_T, a_T):
+@partial(jax.jit, static_argnames=("W",), donate_argnums=_don(1, 2))
+def _lean_chunk(W, A_buf, b_buf, start, up_site_c, row_site_c, w2_c,
+                r2_c, S_T, a_T):
     """One level-chunk of the hoisted-weight precompute, written into
-    donated (L, W, 2, B) buffers."""
+    donated A (L, W, 2, B) / b (L, W, B) buffers."""
     B = S_T.shape[1]
     ew, src = _level_src_ew(S_T, a_T, B, up_site_c, row_site_c, r2_c)
+    A = w2_c[..., None] * ew
+    b = jnp.sum(w2_c[..., None] * src, axis=2)
     zero = jnp.zeros((), jnp.int32)
-    ew_buf = jax.lax.dynamic_update_slice(
-        ew_buf, ew, (start, zero, zero, zero))
-    src_buf = jax.lax.dynamic_update_slice(
-        src_buf, src, (start, zero, zero, zero))
-    return ew_buf, src_buf
+    A_buf = jax.lax.dynamic_update_slice(
+        A_buf, A, (start, zero, zero, zero))
+    b_buf = jax.lax.dynamic_update_slice(b_buf, b, (start, zero, zero))
+    return A_buf, b_buf
 
 
 def _precompute_lean(W, xs, S_T, a_T):
-    """(starts, up_slot, w, ew, src) for a whole stage, built in level
-    chunks so each call's temp stays near the S/alpha layout copies."""
+    """(starts, up_slot, A, b) for a whole stage, built in level chunks
+    so each call's temp stays near the S/alpha layout copies.  Chunk
+    buffers are donated through _lean_chunk: exactly one copy of the
+    multi-GB pair is ever live."""
     starts, up_slot, up_site, row_site, w2, r2 = xs
     B = S_T.shape[1]
     L = int(up_site.shape[0])
     lc = max(1, _LEAN_CHUNK_ROWS // max(W, 1))
-    ew_buf = jnp.zeros((L, W, 2, B), S_T.dtype)
-    src_buf = jnp.zeros((L, W, 2, B), S_T.dtype)
+    A_buf = jnp.zeros((L, W, 2, B), S_T.dtype)
+    b_buf = jnp.zeros((L, W, B), S_T.dtype)
     for l0 in range(0, L, lc):
         l1 = min(l0 + lc, L)
-        ew_buf, src_buf = _lean_chunk(
-            W, ew_buf, src_buf, jnp.asarray(l0, jnp.int32),
-            up_site[l0:l1], row_site[l0:l1], r2[l0:l1], S_T, a_T)
-    return (starts, up_slot, w2, ew_buf, src_buf)
-
-
-@jax.jit
-def _samp_of(I):
-    return I[::_DIFF_STRIDE]
+        A_buf, b_buf = _lean_chunk(
+            W, A_buf, b_buf, jnp.asarray(l0, jnp.int32),
+            up_site[l0:l1], row_site[l0:l1], w2[l0:l1], r2[l0:l1],
+            S_T, a_T)
+    return (starts, up_slot, A_buf, b_buf)
 
 
 @jax.jit
@@ -562,6 +610,7 @@ def _sweep_slots(shapes, relax_tol, stage_arrays, site_gather,
     """
     n_slots, stage_shapes = shapes
     B = S_T.shape[1]
+    isz = S_T.dtype.itemsize
     I = _make_I(n_slots, B, S_T.dtype, I0)
 
     for (kind, W, passes), (*xs, repeats) in zip(stage_shapes,
@@ -573,7 +622,7 @@ def _sweep_slots(shapes, relax_tol, stage_arrays, site_gather,
         n_reps = int(repeats)
         rows = int(np.prod(xs[1].shape[:2]))
         hoist = (n_reps > 1
-                 and rows * 2 * B * 4 * 2 <= _HOIST_BUDGET_BYTES)
+                 and rows * 3 * B * isz <= _HOIST_BUDGET_BYTES)
         if hoist:
             lean = _precompute_lean(W, xs, S_T, a_T)
         if not relax_tol:
@@ -586,15 +635,12 @@ def _sweep_slots(shapes, relax_tol, stage_arrays, site_gather,
         # adaptive exit: two consecutive sub-tol laps end the repeats
         # (a single stalled-but-unconverged lap must not truncate the
         # schedule); one scalar readback per lap synchronizes
-        samp = _samp_of(I)
         streak = 0
         for _ in range(n_reps):
             if hoist:
-                I, samp, rel = _run_hoisted_lap_d(W, passes, I, lean,
-                                                  samp)
+                I, rel = _run_hoisted_lap_d(W, passes, I, lean)
             else:
-                I, samp, rel = _run_relax_lap(W, passes, I, xs, S_T,
-                                              a_T, samp)
+                I, rel = _run_relax_lap(W, passes, I, xs, S_T, a_T)
             streak = streak + 1 if float(rel) <= relax_tol else 0
             if streak >= 2:
                 break

@@ -149,9 +149,18 @@ def main():
                  cache_dir=cache_dir)
     line = lyman_alpha_line(cfg.nlam_bb, cfg.nlam_bf,
                             jnp.asarray(sites.temperature))
+    # host plan construction timed SEPARATELY from the engine's device
+    # physics setup: round 4's single conflated number (352 s "plan
+    # build" at 442k) was dominated by frozen_setup's remote compiles,
+    # not by the ~0.2 s/direction host plan build
+    from voronoirt_tpu.quadrature import get_quadrature
     t0 = time.time()
-    eng = VoronoiEngine(sites, line, cfg)   # builds all 12 plans
+    plans = VoronoiEngine.build_plans(sites, get_quadrature(
+        args.quadrature), cfg)
     rec["phases"]["plan_build_12dir_s"] = time.time() - t0
+    t0 = time.time()
+    eng = VoronoiEngine(sites, line, cfg, plans=plans)
+    rec["phases"]["engine_setup_s"] = time.time() - t0
     rec["device"] = str(jax.devices()[0])
 
     # slot-plan compile + device-geometry sizes (the memory-budget note)

@@ -492,20 +492,20 @@ class VoronoiEngine:
     Field layout: (nlam, n_sites).
     """
 
-    def __init__(self, sites, line, cfg: Config, quadrature=None):
-        from ..grid.voronoi import build_voronoi_plan
+    def __init__(self, sites, line, cfg: Config, quadrature=None,
+                 plans=None):
+        """plans: optionally inject pre-built per-direction plans (same
+        order as the quadrature) -- lets callers time/build the host
+        plan construction separately from the device physics setup
+        (frozen_setup compiles dominate a cold engine construction
+        through the remote tunnel; the plan build itself is ~0.2
+        s/direction at 442k sites)."""
         self.sites = sites
         self.line = line
         self.cfg = cfg
         self.quad = get_quadrature(quadrature or cfg.quadrature)
-        self.plans = []
-        for i in range(self.quad.n_angles):
-            k = self.quad.k[i]
-            up = bool(self.quad.is_up[i])
-            self.plans.append(build_voronoi_plan(
-                sites, k, up, p=cfg.upwind_exponent, compat=cfg.compat,
-                order=cfg.voronoi_order, n_sweeps=cfg.n_sweeps,
-                cache_dir=cfg.cache_dir))
+        self.plans = list(plans) if plans is not None else \
+            self.build_plans(sites, self.quad, cfg)
         # pad per-direction slot shapes to group maxima: one compiled
         # sweep per stage-structure group instead of one per direction
         share_plan_shapes(self.plans, cfg.n_sweeps)
@@ -515,6 +515,20 @@ class VoronoiEngine:
         self.v = jnp.asarray(sites.velocity_zxy())
         (self.lte, self.a_cont, self.eps, self.C,
          self.B0) = frozen_setup(line, self.T, self.ne, self.nH, cfg)
+
+    @staticmethod
+    def build_plans(sites, quad, cfg: Config):
+        """Host-side plan construction for every quadrature direction
+        (disk-cached when cfg.cache_dir is set)."""
+        from ..grid.voronoi import build_voronoi_plan
+        plans = []
+        for i in range(quad.n_angles):
+            plans.append(build_voronoi_plan(
+                sites, quad.k[i], bool(quad.is_up[i]),
+                p=cfg.upwind_exponent, compat=cfg.compat,
+                order=cfg.voronoi_order, n_sweeps=cfg.n_sweeps,
+                cache_dir=cfg.cache_dir))
+        return plans
 
     def compute_J(self, S, populations, damping_lam=None):
         """J accumulation over the quadrature (J_lambda_voronoi);

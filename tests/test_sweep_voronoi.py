@@ -499,3 +499,33 @@ class TestShapeBucketing:
                  for p, I0 in zip(plans, I0s)]
         for a, b in zip(before, after):
             assert np.array_equal(a, b)
+
+
+class TestAdaptiveRelaxExit:
+    """The adaptive relax exit (relax_tol > 0) measures the EXACT lap
+    sup-change inside the level scan (round 5: old rows are read before
+    each level's update -- no strided sampling).  Ending early must not
+    change the answer beyond the tolerance: compare against the full
+    fixed-repeat schedule (relax_tol=0, the bitwise reference)."""
+
+    @pytest.mark.parametrize("theta", [100.2, 79.8])
+    def test_adaptive_matches_fixed_repeats(self, theta):
+        rng = np.random.default_rng(23)
+        n = 17 ** 3
+        pos = rng.uniform(0, 1, (n, 3))
+        sites = build_sites(pos, (0, 1, 0, 1, 0, 1), _fields(n))
+        plan = build_voronoi_plan(sites, kvec(theta, 55.0), up=True,
+                                  order="wavefront")
+        assert plan.relax_levels is not None and plan.relax_repeats > 1
+        S = rng.uniform(0.1, 1.0, n)
+        alpha = rng.uniform(0.0, 2.0, n)
+        I0 = rng.uniform(0.2, 1.0, len(plan.bc_sites))
+        tol = 1e-7
+        I_fix = np.asarray(sweep_voronoi(plan, S, alpha, I0,
+                                         relax_tol=0.0))
+        I_ad = np.asarray(sweep_voronoi(plan, S, alpha, I0,
+                                        relax_tol=tol))
+        scale = max(np.abs(I_fix).max(), 1e-30)
+        # two consecutive sub-tol laps end the repeats; the remaining
+        # drift is bounded by ~n_skipped_laps * tol * scale
+        assert np.abs(I_ad - I_fix).max() / scale < 64 * tol

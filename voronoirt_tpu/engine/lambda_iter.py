@@ -126,6 +126,16 @@ def _alpha_tot(line, lam, damping_lam, v_los, populations, alpha_cont):
     return a_line + alpha_cont[None]
 
 
+def _alpha_tot_g_impl(line, lam, g_cell, v_los, populations,
+                      alpha_cont):
+    lamr = lam.reshape((-1,) + (1,) * g_cell.ndim)
+    damp = damping(g_cell[None], lamr, line.dlamD[None])
+    profile = compute_profile(line, lam, damp, v_los)
+    a_line = alpha_line(line, profile, populations[..., 1],
+                        populations[..., 0])
+    return a_line + alpha_cont[None]
+
+
 @partial(jax.jit, static_argnames=("line",))
 def _alpha_tot_g(line, lam, g_cell, v_los, populations, alpha_cont):
     """_alpha_tot with the damping chunk computed in-jit from the
@@ -134,12 +144,19 @@ def _alpha_tot_g(line, lam, g_cell, v_los, populations, alpha_cont):
     directions (1.28 GB at 3.5e6 sites x 91 lambda).  Recomputing the
     damping per direction is ~20 flops/point against the 1.28 GB HBM
     read the materialized chunk would cost each direction anyway."""
-    lamr = lam.reshape((-1,) + (1,) * g_cell.ndim)
-    damp = damping(g_cell[None], lamr, line.dlamD[None])
-    profile = compute_profile(line, lam, damp, v_los)
-    a_line = alpha_line(line, profile, populations[..., 1],
-                        populations[..., 0])
-    return a_line + alpha_cont[None]
+    return _alpha_tot_g_impl(line, lam, g_cell, v_los, populations,
+                             alpha_cont)
+
+
+@partial(jax.jit, static_argnames=("line",))
+def _alpha_tot_g_T(line, lam, g_cell, v_los, populations, alpha_cont):
+    """_alpha_tot_g emitted directly in the site-major (n, B) layout
+    the Voronoi sweeps consume: the transpose fuses into the one
+    compiled program, so the (B, n) intermediate never lands in HBM
+    (an eager a_tot.T held both layouts -- 2.56 GB of transient per
+    direction at 3.5e6 sites x 91 lambda)."""
+    return _alpha_tot_g_impl(line, lam, g_cell, v_los, populations,
+                             alpha_cont).T
 
 
 def _lambda_chunks(n_lambda, chunk):
@@ -149,6 +166,16 @@ def _lambda_chunks(n_lambda, chunk):
         return [slice(0, n_lambda)]
     return [slice(i, min(i + chunk, n_lambda))
             for i in range(0, n_lambda, chunk)]
+
+
+def _maybe_slice(a, sl):
+    """a[sl], skipping the dispatch when sl covers the whole leading
+    axis: a full-range a[sl] still emits a device slice op whose output
+    duplicates the array (1.28 GB per call at 3.5e6 sites x 91 lambda
+    in the single-chunk production configuration)."""
+    if sl.start == 0 and sl.stop >= a.shape[0]:
+        return a
+    return a[sl]
 
 
 @partial(jax.jit, donate_argnums=(0,) if _DONATE else ())
@@ -575,9 +602,10 @@ class VoronoiEngine:
                 partials = {}
             else:
                 # site-major layout through the sweeps: S transposed
-                # once per chunk, each angle's extinction once -- no
-                # transposes inside the per-direction executions
-                S_T = S[sl].T
+                # once per chunk, each angle's extinction emitted
+                # directly in (n, B) -- no transposes or full-range
+                # slices inside the per-direction executions
+                S_T = _maybe_slice(S, sl).T
                 Jc_T = jnp.zeros_like(S_T)
             for i in range(quad.n_angles):
                 k = quad.k[i]
@@ -591,31 +619,34 @@ class VoronoiEngine:
                                                   st["lam"])
                 else:
                     v, a_cont, T_d = self.v, self.a_cont, self.T
-                    S_c, damp_c, pops_c, lam_c = (S[sl], damp_sl,
-                                                  populations, lam[sl])
+                    damp_c, pops_c, lam_c = (damp_sl, populations,
+                                             lam[sl])
                 v_los = line_of_sight_velocity(v, -k)
-                if fused_damp:
-                    a_tot = _alpha_tot_g(line, lam_c, g_cell, v_los,
-                                         pops_c, a_cont)
-                else:
-                    a_tot = _alpha_tot(line, lam_c, damp_c, v_los,
-                                       pops_c, a_cont)
                 if plan.up:
                     I0 = B_lambda(lam_c[:, None], T_d[plan.bc_sites][None])
                 else:
                     I0 = jnp.zeros((lam_c.shape[0],
                                     len(plan.bc_sites)), S.dtype)
                 if devs:
+                    a_tot = _alpha_tot(line, lam_c, damp_c, v_los,
+                                       pops_c, a_cont)
                     I = sweep_voronoi(plan, S_c, a_tot, I0,
                                       n_sweeps=self.cfg.n_sweeps,
                                       relax_tol=self.cfg.voronoi_relax_tol)
                     _ang.partial_accumulate(partials, d,
                                             quad.weights[i] * I)
                 else:
+                    if fused_damp:
+                        a_tot_T = _alpha_tot_g_T(line, lam_c, g_cell,
+                                                 v_los, pops_c, a_cont)
+                    else:
+                        a_tot_T = _alpha_tot(line, lam_c, damp_c,
+                                             v_los, pops_c, a_cont).T
                     I_T = sweep_voronoi_t(
-                        plan, S_T, a_tot.T, I0,
+                        plan, S_T, a_tot_T, I0,
                         n_sweeps=self.cfg.n_sweeps,
                         relax_tol=self.cfg.voronoi_relax_tol)
+                    del a_tot_T
                     Jc_T = _accum(Jc_T, I_T,
                                   jnp.asarray(quad.weights[i],
                                               Jc_T.dtype))

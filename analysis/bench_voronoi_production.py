@@ -77,11 +77,14 @@ def main():
                     "if a new configuration overruns)")
     ap.add_argument("--hoist-gb-sweep", type=float, default=3.0,
                     help="relax-lap lean-weight hoist budget (GB) for "
-                    "the sweep-throughput phase")
-    ap.add_argument("--hoist-gb-iter", type=float, default=0.0,
+                    "the sweep-throughput phase.  3.0 is the measured "
+                    "ceiling at 3.5e6 sites x 91 lambda: 4.0 OOM'd "
+                    "the sweep phase (artifacts/bench_voronoi_3.5M_"
+                    "r5b.log) where 3.0 passed")
+    ap.add_argument("--hoist-gb-iter", type=float, default=1.5,
                     help="hoist budget (GB) for the iteration phase "
-                    "(0 = relax laps gather fields live; the "
-                    "iteration's residents leave less slack)")
+                    "(its residents -- B0, S_T, J, populations -- "
+                    "leave less slack than the sweep phase)")
     ap.add_argument("--nlam-bb", type=int, default=51)
     ap.add_argument("--nlam-bf", type=int, default=20)
     ap.add_argument("--order", default="wavefront",

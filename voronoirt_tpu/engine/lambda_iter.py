@@ -28,6 +28,7 @@ convergence print and checkpointing stay on the host like the reference.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from functools import partial
 
@@ -642,6 +643,13 @@ class VoronoiEngine:
                     else:
                         a_tot_T = _alpha_tot(line, lam_c, damp_c,
                                              v_los, pops_c, a_cont).T
+                    if sync_every == 1:
+                        # production scale (the chunk alone trips the
+                        # 1 GB in-flight budget): serialize the phases
+                        # within the direction too -- the sweep's
+                        # dispatch-time output allocations must not
+                        # stack on the extinction program's
+                        _drain(a_tot_T)
                     I_T = sweep_voronoi_t(
                         plan, S_T, a_tot_T, I0,
                         n_sweeps=self.cfg.n_sweeps,
@@ -650,8 +658,12 @@ class VoronoiEngine:
                     Jc_T = _accum(Jc_T, I_T,
                                   jnp.asarray(quad.weights[i],
                                               Jc_T.dtype))
+                    del I_T
                     if (i + 1) % sync_every == 0:
                         _drain(Jc_T)
+                    if os.environ.get("VRT_TRACE_J"):
+                        print(f"[J] dir {i} done t={time.time():.1f}",
+                              flush=True)
             if devs:
                 Jc = _ang.reduce_partials(partials,
                                           _ang.target_device(S))

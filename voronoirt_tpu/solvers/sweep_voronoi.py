@@ -592,6 +592,10 @@ def _precompute_lean(W, xs, S_T, a_T):
             W, A_buf, b_buf, jnp.asarray(l0, jnp.int32),
             up_site[l0:l1], row_site[l0:l1], w2[l0:l1], r2[l0:l1],
             S_T, a_T)
+    if A_buf.size * A_buf.dtype.itemsize > (256 << 20):
+        # production scale: serialize the multi-GB lean build before
+        # the laps' dispatch-time allocations stack on its chunks
+        float(b_buf[(0,) * b_buf.ndim])
     return (starts, up_slot, A_buf, b_buf)
 
 

@@ -103,16 +103,45 @@ class SlotPlan:
     stages: tuple
 
 
+# Level-contiguous stage segmentation: a stage program's XLA temp
+# includes the full (ew, src) weight pair for ALL its rows (AOT
+# memory_analysis: XLA hoists the loop-varying gathers out of the level
+# scan and materializes them -- 5.8 GB for a 3.5M-row relax stage at
+# B=91).  Splitting big stages into row-budgeted sub-stages divides
+# that per-call temp (and makes each sub-stage's lean hoist fit a
+# budget) without changing any update order: levels execute in the
+# same sequence, just via several compiled calls.
+_STAGE_ROW_BUDGET = int(os.environ.get("VRT_STAGE_ROWS", 1_200_000))
+
+
+def _split_stage(sched, passes, kind, repeats, occ):
+    sched = np.asarray(sched)
+    L, W = sched.shape
+    rows = L * W
+    if (rows <= _STAGE_ROW_BUDGET or L <= 1
+            or kind not in ("exact", "relax")):
+        return [(sched, passes, kind, repeats, occ)]
+    k = min(L, -(-rows // _STAGE_ROW_BUDGET))
+    Lc = -(-L // k)
+    return [(sched[l0:l0 + Lc], passes, kind, repeats, None)
+            for l0 in range(0, L, Lc)]
+
+
 def _schedule_stages(plan, n_sweeps):
-    """(schedule (L,W), passes, kind, repeats, occ) in execution order."""
+    """(schedule (L,W), passes, kind, repeats, occ) in execution order.
+
+    Consecutive 'relax' entries are ONE logical relax schedule split
+    into level-contiguous sub-stages; the sweep's repeat loop wraps the
+    whole group (lap = all sub-stages in order)."""
     if getattr(plan, "exact_levels", None) is not None or \
             getattr(plan, "relax_levels", None) is not None:
         out = []
         if plan.exact_levels is not None:
-            out.append((plan.exact_levels, 1, "exact", 1, None))
+            out += _split_stage(plan.exact_levels, 1, "exact", 1, None)
         if plan.relax_levels is not None:
-            out.append((plan.relax_levels, 1, "relax",
-                        int(getattr(plan, "relax_repeats", 1)), None))
+            out += _split_stage(plan.relax_levels, 1, "relax",
+                                int(getattr(plan, "relax_repeats", 1)),
+                                None)
         return out
     if getattr(plan, "gs_levels", None) is not None:
         # exact Gauss-Seidel row order (grid/voronoi.py
@@ -604,47 +633,77 @@ def _finish(I, site_gather):
     return jnp.take(I, site_gather, axis=0)             # (n, B)
 
 
+@jax.jit
+def _max2(a, b):
+    return jnp.maximum(a, b)
+
+
 def _sweep_slots(shapes, relax_tol, stage_arrays, site_gather,
                  S_T, a_T, I0):
     """Host-orchestrated slot sweep: one donated jit call per schedule
-    stage and per relax lap (see _run_relax_lap for why the loops live
-    on the host).  stage_arrays: per-stage (starts, up_slot, up_site,
-    row_site, w, r, repeats); repeats drives the host repeat loop.
-    S_T/a_T: (n, B) site-ordered fields (pre-transposed by the caller).
-    """
+    (sub-)stage and per relax lap (see _run_relax_lap for why the
+    loops live on the host).  stage_arrays: per-stage (starts, up_slot,
+    up_site, row_site, w, r, repeats).  Consecutive 'relax' sub-stages
+    form ONE logical relax schedule: a lap runs them all in level
+    order, the repeat loop (and the adaptive exit) wraps the group,
+    and each sub-stage hoists its lean weights independently under the
+    shared _HOIST_BUDGET_BYTES.  S_T/a_T: (n, B) site-ordered fields
+    (pre-transposed by the caller)."""
     n_slots, stage_shapes = shapes
     B = S_T.shape[1]
     isz = S_T.dtype.itemsize
     I = _make_I(n_slots, B, S_T.dtype, I0)
 
-    for (kind, W, passes), (*xs, repeats) in zip(stage_shapes,
-                                                 stage_arrays):
+    stages = list(zip(stage_shapes, stage_arrays))
+    idx = 0
+    while idx < len(stages):
+        (kind, W, passes), sa = stages[idx]
+        *xs, repeats = sa
         xs = tuple(xs)
         if kind != "relax":
             I = _run_stage(W, passes, I, xs, S_T, a_T)
+            idx += 1
             continue
-        n_reps = int(repeats)
-        rows = int(np.prod(xs[1].shape[:2]))
-        hoist = (n_reps > 1
-                 and rows * 3 * B * isz <= _HOIST_BUDGET_BYTES)
-        if hoist:
-            lean = _precompute_lean(W, xs, S_T, a_T)
+        # collect the relax group (sub-stages of one split schedule)
+        group, n_reps = [], int(repeats)
+        while idx < len(stages) and stages[idx][0][0] == "relax":
+            (_, W2, p2), sa2 = stages[idx]
+            *xs2, reps2 = sa2
+            group.append((W2, p2, tuple(xs2)))
+            n_reps = int(reps2)
+            idx += 1
+        # hoist sub-stages while the group total fits the budget
+        lean_total = 0
+        subs = []
+        for (W2, p2, xs2) in group:
+            rows = int(np.prod(xs2[1].shape[:2]))
+            nb = rows * 3 * B * isz
+            lean = None
+            if n_reps > 1 and lean_total + nb <= _HOIST_BUDGET_BYTES:
+                lean = _precompute_lean(W2, xs2, S_T, a_T)
+                lean_total += nb
+            subs.append((W2, p2, xs2, lean))
         if not relax_tol:
             for _ in range(n_reps):
-                if hoist:
-                    I = _run_hoisted_lap(W, passes, I, lean)
-                else:
-                    I = _run_stage(W, passes, I, xs, S_T, a_T)
+                for (W2, p2, xs2, lean) in subs:
+                    if lean is not None:
+                        I = _run_hoisted_lap(W2, p2, I, lean)
+                    else:
+                        I = _run_stage(W2, p2, I, xs2, S_T, a_T)
             continue
         # adaptive exit: two consecutive sub-tol laps end the repeats
         # (a single stalled-but-unconverged lap must not truncate the
-        # schedule); one scalar readback per lap synchronizes
+        # schedule).  Sub-stage sup-changes combine on DEVICE (_max2);
+        # one scalar readback per lap synchronizes.
         streak = 0
         for _ in range(n_reps):
-            if hoist:
-                I, rel = _run_hoisted_lap_d(W, passes, I, lean)
-            else:
-                I, rel = _run_relax_lap(W, passes, I, xs, S_T, a_T)
+            rel = None
+            for (W2, p2, xs2, lean) in subs:
+                if lean is not None:
+                    I, r_ = _run_hoisted_lap_d(W2, p2, I, lean)
+                else:
+                    I, r_ = _run_relax_lap(W2, p2, I, xs2, S_T, a_T)
+                rel = r_ if rel is None else _max2(rel, r_)
             streak = streak + 1 if float(rel) <= relax_tol else 0
             if streak >= 2:
                 break

@@ -108,10 +108,19 @@ class SlotPlan:
 # memory_analysis: XLA hoists the loop-varying gathers out of the level
 # scan and materializes them -- 5.8 GB for a 3.5M-row relax stage at
 # B=91).  Splitting big stages into row-budgeted sub-stages divides
-# that per-call temp (and makes each sub-stage's lean hoist fit a
+# that per-call temp (and lets each sub-stage's lean hoist fit a
 # budget) without changing any update order: levels execute in the
 # same sequence, just via several compiled calls.
-_STAGE_ROW_BUDGET = int(os.environ.get("VRT_STAGE_ROWS", 1_200_000))
+#
+# Default OFF at current scales (4.5M rows): measured at the 3.5e6-site
+# flagship, segmentation + partial hoist was net NEUTRAL-TO-WORSE
+# (J pass 37.0 s unsegmented/unhoisted vs 40.7 s segmented at
+# hoist 2.0, artifacts/BENCH_VORONOI_3.5M_sweep_h20.json) -- the live
+# lap's one-big-gather recompute costs about what the hoisted lean
+# read does, so splitting only adds per-call dispatch/relayout
+# overhead.  The knob remains for larger-than-flagship runs where the
+# unsegmented temp (~rows * 16 * B bytes) would not fit at all.
+_STAGE_ROW_BUDGET = int(os.environ.get("VRT_STAGE_ROWS", 4_500_000))
 
 
 def _split_stage(sched, passes, kind, repeats, occ):

@@ -163,6 +163,13 @@ def main(small=False):
             rec["sweep_throughput_sites_rays_per_s"]
         result["voronoi_iteration_seconds"] = \
             rec["phases"].get("nlte_iteration_s")
+        it_s = rec["phases"].get("nlte_iteration_s")
+        if it_s:
+            # reference: 2330 s at 10 CPU threads / 50 assumed
+            # iterations (no published count) = 46.6 s/iteration at
+            # this exact configuration (3,522,560 sites, 91 lambda,
+            # ul7n12) -- see BASELINE.md
+            result["voronoi_vs_baseline_iteration"] = 46.6 / it_s
     except Exception:
         pass
     print(json.dumps(result))

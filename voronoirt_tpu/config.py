@@ -73,6 +73,15 @@ class Config:
     # chunk / rate slab from the per-cell gamma): the production-memory
     # path that never materializes the (nlam, n) damping cube.
     # Pointwise in space -- results are bitwise the full-path values
+    stream_rates: bool = False    # regular grid: stream the WHOLE
+    # iteration per lambda chunk (J chunk -> rate-integral accumulation
+    # -> in-place S update): no resident J cube, second S buffer or
+    # Planck cube (3 x 5.13 GB at 215x256x256 x 91).  Rates equal
+    # calculate_R up to float addition order (tests/test_rates_stream)
+    group_max_angles: Optional[int] = None  # cap on angles per batched
+    # mirror-group sweep (regular grid); None = auto from lambda_chunk
+    # (a group's extinction stack is P x chunk-field bytes of
+    # execution temp -- see RegularEngine.__init__)
 
     # --- seeds ---
     seed: int = 2022              # site-sampling seed (compare_line.jl:7)

@@ -160,6 +160,16 @@ def _alpha_tot_g_T(line, lam, g_cell, v_los, populations, alpha_cont):
                              alpha_cont).T
 
 
+@partial(jax.jit, static_argnames=("line",))
+def _alpha_tot_g_t(line, lam, g_cell, v_los, populations, alpha_cont):
+    """_alpha_tot_g emitted in the z-major (nz, B, nx, ny) layout the
+    regular sweeps consume (same both-layouts-transient argument as
+    _alpha_tot_g_T: 1.46 GB per angle at the production shape)."""
+    return jnp.swapaxes(_alpha_tot_g_impl(line, lam, g_cell, v_los,
+                                          populations, alpha_cont),
+                        0, 1)
+
+
 def _lambda_chunks(n_lambda, chunk):
     """Slices covering the lambda axis in blocks of `chunk` (last block
     may be smaller -> at most two compiled chunk shapes)."""
@@ -221,6 +231,37 @@ def _accum(J, I, w):
 @partial(jax.jit, static_argnames=("line",))
 def _update_S(line, eps, J, B0):
     return (1.0 - eps)[None] * J + eps[None] * B0
+
+
+@partial(jax.jit, static_argnames=("line",), donate_argnums=(1,))
+def _s_update_stream(line, S, Jc, eps, T, lam_c, start):
+    """Streamed S update: read the S_old chunk out of the (donated)
+    full S buffer, form S_new = (1-eps) J + eps B with the Planck
+    chunk recomputed in-jit (a resident full B0 cube is 5.13 GB at the
+    production regular shape), fold the convergence-criterion partial
+    max, and write S_new back in place.  Returns (S, partial_max)."""
+    size = Jc.shape[0]
+    idx = (start,) + (0,) * (S.ndim - 1)
+    S_old_c = jax.lax.dynamic_slice(
+        S, idx, (size,) + tuple(S.shape[1:]))
+    B0_c = B_lambda(lam_c.reshape((-1,) + (1,) * T.ndim), T[None])
+    S_new_c = ((1.0 - eps)[None] * Jc + eps[None] * B0_c).astype(S.dtype)
+    denom = jnp.where(S_new_c != 0.0, S_new_c, 1.0)
+    m = jnp.max(jnp.abs(S_new_c - S_old_c) / jnp.abs(denom))
+    return jax.lax.dynamic_update_slice(S, S_new_c, idx), m
+
+
+@partial(jax.jit, static_argnames=("line", "r0", "compat"),
+         donate_argnums=(1,))
+def _rates_accum(line, acc, carry, Jc, r0, g_cell, lte, T, compat):
+    """Accumulate one lambda chunk's radiative-rate contributions
+    (physics.rates.calculate_R_chunk); acc is donated.  carry is the
+    previous chunk's last J row (so boundary pairs integrate exactly
+    once; None for the first chunk, where r0 is the true start)."""
+    from ..physics.rates import calculate_R_chunk
+    J_blk = Jc if carry is None else jnp.concatenate([carry, Jc], 0)
+    return calculate_R_chunk(line, acc, J_blk, r0, g_cell, lte, T,
+                             compat=compat)
 
 
 @partial(jax.jit, static_argnames=("line", "compat"))
@@ -313,9 +354,20 @@ class RegularEngine:
             self.plans.append(build_plan(k, z, atmos.dx, atmos.dy, up))
         # mirror-quadrant angles share one batched sweep (the marching
         # kernels are latency-bound: a group of P angles runs for ~the
-        # cost of one); singleton groups keep the per-angle path
+        # cost of one); singleton groups keep the per-angle path.
+        # Group size is capped so the P per-angle extinction fields +
+        # their stacked copy (the batched sweep's execution temps) stay
+        # within ~2 GB next to the resident chunk fields -- at the
+        # production shape (215x256x256, chunk 13) uncapped 4-angle
+        # groups OOM a 16 GB chip.
+        max_group = cfg.group_max_angles
+        if max_group is None and cfg.lambda_chunk:
+            chunk_b = 4 * cfg.lambda_chunk * int(
+                np.prod(atmos.temperature.shape))
+            max_group = max(1, (2 << 30) // max(chunk_b, 1))
         self.plan_groups = group_plans(self.quad.k, self.quad.is_up, z,
-                                       atmos.dx, atmos.dy)
+                                       atmos.dx, atmos.dy,
+                                       max_group=max_group)
         self.T = jnp.asarray(atmos.temperature)
         self.ne = jnp.asarray(atmos.electron_density)
         self.nH = jnp.asarray(atmos.hydrogen_populations)
@@ -400,13 +452,13 @@ class RegularEngine:
                                                   populations, lam[sl])
                 v_los = line_of_sight_velocity(v, -k)
                 if fused_damp and damp_c is None:
-                    a_tot = _alpha_tot_g(line, lam_c, g_cell, v_los,
+                    a_t = _alpha_tot_g_t(line, lam_c, g_cell, v_los,
                                          pops_c, a_cont)
                 else:
-                    a_tot = _alpha_tot(line, lam_c, damp_c, v_los,
-                                       pops_c, a_cont)
+                    a_t = jnp.swapaxes(
+                        _alpha_tot(line, lam_c, damp_c, v_los,
+                                   pops_c, a_cont), 0, 1)
                 S_t = jnp.swapaxes(S_c, 0, 1)     # (nz, chunk, nx, ny)
-                a_t = jnp.swapaxes(a_tot, 0, 1)
                 if plan.up:
                     I0 = B_lambda(lam_c[:, None, None], T_bot[None])
                 else:
@@ -444,25 +496,35 @@ class RegularEngine:
         """
         line, quad = self.line, self.quad
 
-        def a_tot_for(k):
+        def a_t_for(k):
+            """Per-angle extinction, already in the z-major sweep
+            layout (fused transpose when the per-cell-gamma path is
+            active)."""
             v_los = line_of_sight_velocity(self.v, -k)
             if damp_c is None:
-                return _alpha_tot_g(line, lam_c, g_cell, v_los,
-                                    populations, self.a_cont)
-            return _alpha_tot(line, lam_c, damp_c, v_los,
-                              populations, self.a_cont)
+                return _alpha_tot_g_t(line, lam_c, g_cell, v_los,
+                                      populations, self.a_cont)
+            return jnp.swapaxes(
+                _alpha_tot(line, lam_c, damp_c, v_los,
+                           populations, self.a_cont), 0, 1)
 
         T_bottom = self.T[0]
         Jc = jnp.zeros_like(S_c)
         S_t = jnp.swapaxes(S_c, 0, 1)        # (nz, chunk, nx, ny)
         B = S_t.shape[1]
+        # backpressure between groups: each batched sweep allocates its
+        # P per-angle extinctions + stack + output at dispatch; at
+        # production chunks (>1 GB per group) an undrained loop holds
+        # every group's working set at once and OOMs
+        chunk_b = S_c.dtype.itemsize * int(np.prod(S_c.shape))
+        drain_groups = chunk_b * max(
+            len(g) for g in self.plan_groups) > (1 << 30)
         for group in self.plan_groups:
             if len(group) == 1:
                 (i, _, _) = group[0]
                 k = quad.k[i]
                 plan = self.plans[i]
-                a_tot = a_tot_for(k)
-                a_t = jnp.swapaxes(a_tot, 0, 1)
+                a_t = a_t_for(k)
                 if plan.up:
                     I0 = B_lambda(lam_c[:, None, None], T_bottom[None])
                 else:
@@ -474,8 +536,7 @@ class RegularEngine:
             a_list, I0_list = [], []
             for (i, plan_c, (fx, fy, fz)) in group:
                 k = quad.k[i]
-                a_tot = a_tot_for(k)
-                a_list.append(jnp.swapaxes(a_tot, 0, 1))
+                a_list.append(a_t_for(k))
                 # BC follows the ORIGINAL direction (fz = originally
                 # down, z-flip-canonicalized): up = hot bottom plane,
                 # down = dark top (lambda_iteration.jl:38-52)
@@ -496,6 +557,8 @@ class RegularEngine:
                 n_sweeps=self.cfg.n_sweeps,
                 flips=tuple(f for (_, _, f) in group))
             Jc = Jc + jnp.swapaxes(I_g, 0, 1)
+            if drain_groups:
+                _drain(Jc)
         return Jc
 
     def damping_lam(self, populations):
@@ -507,7 +570,43 @@ class RegularEngine:
         lam = jnp.asarray(self.line.lam)
         return B_lambda(lam[:, None, None], self.T[0][None])
 
+    def iterate_streamed(self, S, populations):
+        """One Lambda iteration, fully lambda-streamed: each chunk
+        flows J -> rate-integral accumulation -> in-place S update (+
+        criterion partial), so no full J cube, no second S buffer and
+        no Planck cube are ever resident -- 3 x 5.13 GB saved at the
+        production 215x256x256 x 91 shape, which is what lets the
+        4-angle mirror groups batch wide lambda chunks on a 16 GB
+        chip.  S is DONATED (overwritten chunk-wise after each
+        chunk's sweep has consumed it).  Returns (S_new, pops_new,
+        criterion_diff).  Streamed rates == calculate_R up to float
+        addition order (tests/test_rates_stream.py); the angle-MPMD
+        path is not supported here (use the standard loop)."""
+        from ..physics.stateq import get_revised_populations
+        line, cfg = self.line, self.cfg
+        lam = jnp.asarray(line.lam)
+        chunks = _lambda_chunks(line.n_lambda, cfg.lambda_chunk)
+        g_cell = _gamma_cell(line, self.T,
+                             populations[..., 0] + populations[..., 1],
+                             self.ne, cfg.gamma_natural)
+        acc = carry = None
+        diff = 0.0
+        for ci, sl in enumerate(chunks):
+            Jc = self._J_chunk_grouped(_maybe_slice(S, sl), populations,
+                                       None, lam[sl], g_cell=g_cell)
+            r0 = sl.start if ci == 0 else sl.start - 1
+            acc = _rates_accum(line, acc, carry, Jc, r0, g_cell,
+                               self.lte, self.T, cfg.compat)
+            carry = Jc[-1:]
+            S, m = _s_update_stream(line, S, Jc, self.eps, self.T,
+                                    lam[sl], sl.start)
+            diff = max(diff, float(m))   # readback = backpressure
+        pops = get_revised_populations(acc, self.C, self.nH)
+        return S, pops, diff
+
     def run(self, checkpoint=None):
+        if self.cfg.stream_rates:
+            return _run_iteration_streamed(self, checkpoint)
         return _run_iteration(self, checkpoint)
 
 
@@ -756,6 +855,54 @@ def _run_iteration(engine, checkpoint=None, start_iteration=0, S_init=None,
           else "Did not converge inside scope")
     return NLTEResult(J=np.asarray(J) if J is not None else None,
                       S=np.asarray(S_new), alpha_cont=np.asarray(engine.a_cont),
+                      populations=np.asarray(populations),
+                      convergence=convergence, iterations=i,
+                      converged=converged, timings=timings)
+
+
+def _run_iteration_streamed(engine, checkpoint=None):
+    """The host loop for cfg.stream_rates: per-iteration state is ONE
+    full S buffer (donated through iterate_streamed) + populations.
+    The first convergence entry of the standard loop,
+    criterion(B0, 0), is identically 1.0 -- recorded as such.
+
+    The engine's B0 is CONSUMED as the initial S (the streamed path
+    recomputes Planck chunks in-jit), so a resident B0 cube does not
+    sit next to the iteration state."""
+    cfg = engine.cfg
+    assert cfg.formal_interpolation == "linear", \
+        "stream_rates supports the linear formal solution only"
+    populations = engine.lte
+    S = engine.B0
+    engine.B0 = None
+    convergence = [1.0]
+    timings = []
+    if checkpoint is not None:
+        checkpoint.write_convergence(1, 1.0)
+    print("Iteration 1...")
+    i = 0
+    diff = float("inf")
+    while diff > cfg.eps and i < cfg.maxiter:
+        t0 = time.time()
+        S, populations, diff = engine.iterate_streamed(S, populations)
+        jax.block_until_ready(populations)
+        timings.append(time.time() - t0)
+        convergence.append(diff)
+        i += 1
+        if np.isnan(diff):
+            print(f"NaN convergence at iteration {i}")
+        print(f"   Rel. diff.: {diff}")
+        if checkpoint is not None:
+            checkpoint.write_convergence(i + 1, diff)
+            if (i - 1) % cfg.checkpoint_every == 0:
+                checkpoint.write_state(populations, S)
+        if diff > cfg.eps and i < cfg.maxiter:
+            print(f"Iteration {i + 1}...")
+    converged = convergence[-1] <= cfg.eps
+    print(("Converged in %d iterations" % i) if converged
+          else "Did not converge inside scope")
+    return NLTEResult(J=None, S=np.asarray(S),
+                      alpha_cont=np.asarray(engine.a_cont),
                       populations=np.asarray(populations),
                       convergence=convergence, iterations=i,
                       converged=converged, timings=timings)

@@ -21,6 +21,7 @@ import numpy as np
 
 from ..constants import h, c_0, e, eps_0, m_e, hc, R_inf, E_inf, IUNIT_SI
 from .voigt import voigt_profile
+from .broadening import damping
 from .collisions import coll_exc_hydrogen_johnson, coll_ion_hydrogen_johnson
 
 
@@ -151,6 +152,90 @@ def calculate_R(line, J_lam, damping_lam, lte_pops, temperature,
     R[(0, 1)] = Rij_integral(J_lam[i0:i1], sig, lam_w, compat)
     R[(1, 0)] = Rji_integral(J_lam[i0:i1], sig, G, lam_w, compat)
     return R
+
+
+def _window_pairs(line):
+    """Per-window global pair ranges [p0, p1): pair p integrates rows
+    (p, p+1), both inside the window (the reference's pair sums never
+    straddle the bb/bf window boundaries -- rates.jl slices each
+    window before summing)."""
+    i0, i1, i2, i3 = line.lam_idx
+    return (((i1, i2 - 1), "bf0"), ((i2, i3 - 1), "bf1"),
+            ((i0, i1 - 1), "bb"))
+
+
+def calculate_R_chunk(line, acc, J_blk, r0, g_cell, lte_pops,
+                      temperature, compat="reference"):
+    """Accumulate one lambda-block's contribution to the radiative-rate
+    integrals (streaming form of calculate_R: full J never needs to be
+    resident -- the production regular grid's (91, 215, 256, 256) J is
+    5.13 GB).
+
+    J_blk: (nb, ...) J rows covering GLOBAL lambda rows [r0, r0+nb)
+      (pass the previous chunk's last row as row 0 so boundary pairs
+      are integrated exactly once; r0 = chunk_start - 1 then).
+    acc: dict {(i, j): array} running partials, or None to start.
+    g_cell: per-cell damping gamma (bb sigma recomputed in-block).
+    r0 and the block length are static per chunk shape -- the window
+    intersections resolve at trace time.
+
+    Sum over chunks == calculate_R up to float addition order (pinned
+    by tests/test_rates_stream.py).
+    """
+    nb = int(J_blk.shape[0])
+    lam_all = np.asarray(line.lam)
+    out = dict(acc) if acc is not None else {}
+
+    def add(key, val):
+        out[key] = val if key not in out else out[key] + val
+
+    for (p0, p1), kind in _window_pairs(line):
+        a = max(p0, r0)
+        b = min(p1, r0 + nb - 1)
+        if a >= b:
+            continue
+        rows = slice(a - r0, b - r0 + 1)       # J rows a..b inclusive
+        lam_w = lam_all[a:b + 1]
+        J_w = J_blk[rows]
+        if kind == "bb":
+            lam_b = jnp.asarray(lam_w).reshape(
+                (-1,) + (1,) * g_cell.ndim)
+            damp = damping(g_cell[None], lam_b, line.dlamD[None])
+            sig = sigma_ij_bb(line, lam_w, damp)
+            G = Gij(0, 1, lam_w, temperature, lte_pops)
+            add((0, 1), Rij_integral(J_w, sig, lam_w, compat))
+            add((1, 0), Rji_integral(J_w, sig, G, lam_w, compat))
+        else:
+            level = 0 if kind == "bf0" else 1
+            # compat sigma_ic uses lam[end] of the WINDOW as the edge
+            we = p1 + 1
+            sig = _sigma_ic_rows(level, line, lam_w, lam_all[we - 1],
+                                 compat)
+            sig_b = sig.reshape((-1,) + (1,) * (J_w.ndim - 1))
+            G = Gij(level, 2, lam_w, temperature, lte_pops)
+            add((level, 2), Rij_integral(J_w, sig_b, lam_w, compat))
+            add((2, level), Rji_integral(J_w, sig_b, G, lam_w, compat))
+    return out
+
+
+def _sigma_ic_rows(level, line, lam_w, lam_edge_ref, compat):
+    """sigma_ic over an arbitrary row subset of a bf window: the
+    reference variant's edge wavelength is the WINDOW's last lambda
+    (rates.jl:427-431), which a chunk may not contain -- pass it in."""
+    lam = jnp.asarray(lam_w)
+    if compat == "reference":
+        lam_edge = lam_edge_ref
+        neff = np.sqrt(E_inf / (line.chi_j - line.chi_i))
+    else:
+        chi_level = line.chi_i if level == 0 else line.chi_j
+        lam_edge = hc / (line.chi_inf - chi_level)
+        neff = line.Z * np.sqrt(E_inf / (line.chi_inf - chi_level))
+    lam3_ratio = (lam / lam_edge) ** 3
+    charge = line.Z
+    sigma_const = 4.0 * e**2 / (3.0 * np.pi * np.sqrt(3.0) * eps_0
+                                * m_e * c_0**2 * R_inf)
+    return (sigma_const * charge**4 * neff * lam3_ratio
+            * gaunt_bf(lam, charge, neff))
 
 
 def Cij(i, j, electron_density, temperature, lte_pops, boost=2.0e9):

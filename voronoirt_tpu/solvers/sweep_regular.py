@@ -625,13 +625,20 @@ def flip_field(A, flip_x, flip_y, flip_z=False):
     return A
 
 
-def group_plans(ks, ups, z, dx, dy):
+def group_plans(ks, ups, z, dx, dy, max_group=None):
     """Bucket quadrature directions by canonical plan signature.
 
     Returns a list of groups; each group is a list of
     (angle_index, canonical_plan, (flip_x, flip_y, flip_z)).  Marching
     (yz/xz) sweeps are latency-bound, so batching a group's angles
     into the wavelength axis runs them for ~the cost of one.
+
+    max_group caps the angles per group: a batched group holds P
+    per-angle extinction fields plus their stacked copy as execution
+    temporaries, so at production grids with wide lambda chunks the
+    4-angle ul7n12 groups exceed HBM next to the two resident
+    (nlam, nz, nx, ny) fields -- cap P so P * chunk-field bytes fits
+    the headroom (the caller knows the chunk size).
 
     Down sweeps are z-flip-canonicalized into up sweeps: reversing the
     z axis of the fields (and the dz sequence of the plan) maps a
@@ -654,7 +661,11 @@ def group_plans(ks, ups, z, dx, dy):
         plan = build_plan(kc, zf if fz else z, dx, dy, True)
         sig = plan_signature(plan)
         groups.setdefault(sig, []).append((i, plan, (fx, fy, fz)))
-    return list(groups.values())
+    out = list(groups.values())
+    if max_group is not None and max_group >= 1:
+        out = [g[j:j + max_group] for g in out
+               for j in range(0, len(g), max_group)]
+    return out
 
 
 def _geom_stack(vals_per_plan, B_lam, extra_dims):

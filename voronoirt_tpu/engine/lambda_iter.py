@@ -362,9 +362,14 @@ class RegularEngine:
         # groups OOM a 16 GB chip.
         max_group = cfg.group_max_angles
         if max_group is None and cfg.lambda_chunk:
+            # measured on v5e at 215x256x256 (round 5): a group sweep's
+            # in-program temps are ~6x the stacked batch, so the safe
+            # ceiling is ~0.9 GB of P x chunk-field stack (chunk 8 x
+            # P=2 ran the streamed production iteration in 7.28 s;
+            # chunk 13 x P=2 and chunk 23 x P=1 OOM'd)
             chunk_b = 4 * cfg.lambda_chunk * int(
                 np.prod(atmos.temperature.shape))
-            max_group = max(1, (2 << 30) // max(chunk_b, 1))
+            max_group = max(1, int(0.9 * (1 << 30)) // max(chunk_b, 1))
         self.plan_groups = group_plans(self.quad.k, self.quad.is_up, z,
                                        atmos.dx, atmos.dy,
                                        max_group=max_group)

@@ -66,6 +66,11 @@ def main():
                     help="stream the rates/SE update over site slabs "
                          "of this size (production memory path); 0 = "
                          "all at once")
+    ap.add_argument("--stream", action="store_true",
+                    help="regular grid: lambda-streamed iteration "
+                         "(cfg.stream_rates) -- no resident J cube, "
+                         "second S buffer or Planck cube; required at "
+                         "the 215x256x256 x 91 production shape")
     ap.add_argument("--no-cache", action="store_true",
                     help="disable the tessellation/plan disk cache")
     ap.add_argument("--atmos", type=int, nargs=3, default=(32, 16, 16),
@@ -100,6 +105,7 @@ def main():
                  voronoi_order=args.voronoi_order,
                  lambda_chunk=args.lambda_chunk or None,
                  rates_site_chunk=args.rates_chunk or None,
+                 stream_rates=bool(args.stream),
                  dtype="float32" if args.f32 else "float64",
                  cache_dir=None if args.no_cache else default_cache_dir())
 

@@ -822,6 +822,11 @@ def _run_iteration(engine, checkpoint=None, start_iteration=0, S_init=None,
 
         t0 = time.time()
         S_old = S_new
+        # drop the previous iteration's J BEFORE the new J pass: at the
+        # 3.5e6-site x 91-lambda scale the stale 1.28 GB buffer held
+        # through compute_J is the difference between iteration 2
+        # fitting and OOMing (measured, artifacts/run_voronoi_3.5M.log)
+        J = None
         if cfg.rates_site_chunk:
             # production-memory path: damping per lambda chunk inside
             # compute_J, rates streamed over site slabs -- never holds

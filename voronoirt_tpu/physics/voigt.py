@@ -28,11 +28,17 @@ def humlicek_w(a, v):
     import jax
     in_dtype = jnp.result_type(a, v)
     if in_dtype == jnp.float64 and jax.default_backend() == "cpu":
-        cdtype = jnp.complex128
+        rdtype = jnp.float64
     else:
-        cdtype = jnp.complex64
-    # Humlicek works with t = a - i v.
-    t = (jnp.asarray(a) - 1j * jnp.asarray(v)).astype(cdtype)
+        rdtype = jnp.float32
+    # Humlicek works with t = a - i v.  Built with lax.complex from
+    # same-width reals: the eager form (a - 1j*v).astype(c64) promotes
+    # through complex128 under x64, and the TPU x64 rewriter has no
+    # f64->c128 expansion -- it SIGABRTs the (remote) compiler.  x64
+    # runs on TPU (the driver's entry() compile check) must never put
+    # a c128 intermediate in the jaxpr.
+    t = jax.lax.complex(jnp.asarray(a, dtype=rdtype),
+                        -jnp.asarray(v, dtype=rdtype))
     s = jnp.abs(v) + a
 
     # Region I: s >= 15
@@ -49,8 +55,11 @@ def humlicek_w(a, v):
 
     # Region IV: s < 5.5 and a < 0.195|v| - 0.176
     u4 = t * t
-    # clip the real part of u4 so exp never overflows in the unselected branch
-    u4c = jnp.clip(jnp.real(u4), -690.0, 690.0) + 1j * jnp.imag(u4)
+    # clip the real part of u4 so exp never overflows in the unselected
+    # branch (lax.complex: dtype-preserving, no c128 promotion)
+    import jax
+    u4c = jax.lax.complex(jnp.clip(jnp.real(u4), -690.0, 690.0),
+                          jnp.imag(u4))
     numer = t * (36183.31 - u4 * (3321.9905 - u4 * (1540.787 - u4 * (
         219.0313 - u4 * (35.76683 - u4 * (1.320522 - u4 * 0.56419))))))
     denom = 32066.6 - u4 * (24322.84 - u4 * (9022.228 - u4 * (

@@ -77,6 +77,12 @@ def main():
     ap.add_argument("--lambda-chunk", type=int, default=0)
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--no-cache", action="store_true")
+    ap.add_argument("--rates-chunk", type=int, default=0,
+                    help="stream the rates/SE update over site slabs "
+                         "(production memory path; must be set when "
+                         "resuming multi-million-site runs)")
+    ap.add_argument("--stream", action="store_true",
+                    help="regular grid: lambda-streamed iteration")
     ap.add_argument("--boost", type=float, default=2.0e9,
                     help="collisional-rate boost; MUST match the "
                          "original run's value")
@@ -101,6 +107,8 @@ def main():
                  boost=args.boost,
                  voronoi_order=args.voronoi_order,
                  lambda_chunk=args.lambda_chunk or None,
+                 rates_site_chunk=args.rates_chunk or None,
+                 stream_rates=bool(args.stream),
                  dtype="float32" if args.f32 else "float64",
                  cache_dir=None if args.no_cache else default_cache_dir())
 
